@@ -1,0 +1,84 @@
+"""UASTC -> RGBA32 unpack, vectorized per mode.
+
+Mirrors `decode_block_to_rgba` (reference: src/uastc.rs:237-327): decode mode
+fields, dequantize endpoints/weights, then per-texel fixed-point ASTC
+interpolation with single/dual-plane routing and multi-subset pattern lookup.
+Output texels are packed little-endian RGBA words (Color32::to_rgba_u32,
+src/color.rs:22-24).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..tables import ModeCfg
+from .bits import U32
+from .uastc_decode import (
+    assemble_endpoint_pairs,
+    astc_interpolate,
+    decode_fields,
+    decode_mode8_rgba,
+    subsets_for_texels,
+    unquant_weight,
+)
+
+I32 = jnp.int32
+
+
+def pack_rgba(r, g, b, a):
+    return (
+        r.astype(U32)
+        | (g.astype(U32) << U32(8))
+        | (b.astype(U32) << U32(16))
+        | (a.astype(U32) << U32(24))
+    )
+
+
+def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
+    """Returns (texels, err): texels = list of 16 per-texel [r,g,b,a] int32[N]."""
+    if cfg.id == 8:
+        rgba = decode_mode8_rgba(lanes)
+        err = jnp.zeros(lanes.shape[:-1], bool)
+        return [rgba] * 16, err
+
+    f = decode_fields(cfg, lanes)
+    wq = [unquant_weight(w, cfg.weight_bits) for w in f.weights]
+    pairs = assemble_endpoint_pairs(cfg, f.endpoints)
+
+    texels = []
+    if cfg.subset_count == 1:
+        e0, e1 = pairs[0]
+        if cfg.plane_count == 1:
+            for i in range(16):
+                w = wq[i]
+                texels.append([astc_interpolate(e0[c], e1[c], w) for c in range(4)])
+        else:
+            for i in range(16):
+                w0, w1 = wq[2 * i], wq[2 * i + 1]
+                px = []
+                for c in range(4):
+                    wc = jnp.where(f.compsel == c, w1, w0)
+                    px.append(astc_interpolate(e0[c], e1[c], wc))
+                texels.append(px)
+    else:
+        subsets = subsets_for_texels(cfg, f.pat)
+        for i in range(16):
+            s_i = subsets[i]
+            w = wq[i]
+            px = []
+            for c in range(4):
+                e0c = pairs[0][0][c]
+                e1c = pairs[0][1][c]
+                for s in range(1, cfg.subset_count):
+                    e0c = jnp.where(s_i == s, pairs[s][0][c], e0c)
+                    e1c = jnp.where(s_i == s, pairs[s][1][c], e1c)
+                px.append(astc_interpolate(e0c, e1c, w))
+            texels.append(px)
+    return texels, f.err
+
+
+def uastc_to_rgba_mode(cfg: ModeCfg, lanes):
+    """uint32[N,4] UASTC lanes -> (uint32[N,16] packed RGBA texels, err[N])."""
+    texels, err = uastc_to_rgba_channels(cfg, lanes)
+    out = jnp.stack([pack_rgba(*px) for px in texels], axis=-1)
+    return out, err

@@ -1,0 +1,276 @@
+"""Mode-specialized, vectorized UASTC block field decoding.
+
+Each function takes a static `ModeCfg` plus a `uint32[N, 4]` lane tensor and
+returns per-block field tensors.  Because kernels are specialized per mode,
+every bit offset below is a Python int computed at trace time; the only
+dynamic offsets are the weight positions of multi-subset modes, where anchor
+texels (read with one less bit) depend on the block's pattern index.
+
+Reference behavior being mirrored (file:line cites into /root/reference):
+  - mode decode via 7-bit LUT: src/uastc.rs:329-341
+  - component selector / pattern index: src/uastc.rs:343-366
+  - BISE endpoint decode (quint/trit groups + raw bits): src/uastc.rs:616-695
+  - endpoint dequantization: src/uastc.rs:585-614
+  - weight decode with per-pattern anchors: src/uastc.rs:721-740
+  - weight unquantization LUTs: src/uastc.rs:697-719
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+
+from ..tables import BISE_RANGES, LA, ModeCfg, get_family
+from .bits import U32, extract, extract_dyn, mask
+
+I32 = jnp.int32
+
+
+@dataclass
+class Fields:
+    """Decoded per-block fields for one mode (all jnp arrays, batch dim N)."""
+
+    err: object  # bool[N] - invalid pattern index
+    compsel: object  # int32[N], 0..3
+    pat: object  # int32[N], clamped to a valid pattern index
+    endpoints: list  # E x int32[N], dequantized 0..255
+    quant_tq: list  # E x int32[N], raw trit/quint digit
+    quant_bits: list  # E x int32[N], raw bit part
+    weights: list  # (16*planes) x int32[N], raw quantized weights (decode order)
+    anchors: list  # nsub x int32[N] anchor texel indices (static 0 if single subset)
+    invert_info: dict = field(default_factory=dict)
+
+
+def _bise_layout(cfg: ModeCfg):
+    """Static (kind, offset, width, digit_divisor, members) read plan for the
+    quint/trit digit section, plus the offset where raw bits start."""
+    rng = BISE_RANGES[cfg.endpoint_range_index]
+    e = cfg.endpoint_count
+    ofs = cfg.field_offsets["endpoints"]
+    groups = []
+    if rng.quints:
+        full, rem = e // 3, e % 3
+        for _ in range(full):
+            groups.append((5, ofs, 7, 3))
+            ofs += 7
+        if rem:
+            w = {1: 3, 2: 5}[rem]
+            groups.append((5, ofs, w, rem))
+            ofs += w
+    if rng.trits:
+        full, rem = e // 5, e % 5
+        for _ in range(full):
+            groups.append((3, ofs, 8, 5))
+            ofs += 8
+        if rem:
+            w = {1: 2, 2: 4, 3: 5, 4: 7}[rem]
+            groups.append((3, ofs, w, rem))
+            ofs += w
+    return groups, ofs, rng
+
+
+def decode_endpoints(cfg: ModeCfg, lanes):
+    """Returns (quant_tq, quant_bits, unquant) lists of int32[N] (length E)."""
+    groups, bits_ofs, rng = _bise_layout(cfg)
+    e = cfg.endpoint_count
+
+    tq = []
+    for base, ofs, width, members in groups:
+        g = extract(lanes, ofs, width).astype(I32)
+        div = 1
+        for _ in range(members):
+            tq.append((g // div) % base)
+            div *= base
+    if not tq:
+        tq = [jnp.zeros(lanes.shape[:-1], I32)] * e
+
+    qbits = []
+    for i in range(e):
+        if rng.bits:
+            qbits.append(extract(lanes, bits_ofs + i * rng.bits, rng.bits).astype(I32))
+        else:
+            qbits.append(jnp.zeros(lanes.shape[:-1], I32))
+
+    unquant = [unquant_endpoint(tq[i], qbits[i], cfg.endpoint_range_index) for i in range(e)]
+    return tq, qbits, unquant
+
+
+def unquant_endpoint(trit_quint, bits, range_index: int):
+    """Vectorized ASTC endpoint dequantization (reference: uastc.rs:585-614)."""
+    rng = BISE_RANGES[range_index]
+    if rng.trits == 0 and rng.quints == 0 and rng.bits > 0:
+        val = jnp.zeros_like(bits)
+        sh = 8 - rng.bits
+        while sh > -rng.bits:
+            val = val | (bits << sh if sh >= 0 else bits >> -sh)
+            sh -= rng.bits
+        return val & 0xFF
+    a = (bits & 1) * 511
+    b = jnp.zeros_like(bits)
+    for out_bit, in_bit in rng.scatter_pairs:
+        b = b | (((bits >> in_bit) & 1) << out_bit)
+    val = (trit_quint * rng.deq_c + b) ^ a
+    return (a & 0x80) | (val >> 2)
+
+
+def decode_compsel(cfg: ModeCfg, lanes):
+    if cfg.plane_count == 2 and cfg.format == LA:
+        return jnp.full(lanes.shape[:-1], 3, I32)  # LA always selects alpha
+    if cfg.compsel_bits:
+        return extract(lanes, cfg.field_offsets["compsel"], 2).astype(I32)
+    return jnp.zeros(lanes.shape[:-1], I32)
+
+
+def decode_pattern(cfg: ModeCfg, lanes):
+    """Returns (pat_clamped, err).  err=True marks an out-of-range pattern
+    index (reference returns an error for the block, uastc.rs:361-365)."""
+    if cfg.pattern_bits == 0:
+        z = jnp.zeros(lanes.shape[:-1], I32)
+        return z, jnp.zeros(lanes.shape[:-1], bool)
+    pat = extract(lanes, cfg.field_offsets["pattern"], cfg.pattern_bits).astype(I32)
+    err = pat >= cfg.pattern_count
+    return jnp.minimum(pat, cfg.pattern_count - 1), err
+
+
+def decode_anchors(cfg: ModeCfg, pat):
+    """Anchor texel indices, one per subset (dynamic via the pattern tables
+    for multi-subset modes; texel 0 for single-subset modes)."""
+    fam = get_family(cfg)
+    if fam is None or cfg.subset_count == 1 and cfg.id != 7:
+        # Single-subset (incl. mode 1, whose *read* anchor list is [0]).
+        return [jnp.zeros_like(pat)]
+    packed = jnp.take(jnp.asarray(fam.anchors_packed), pat, axis=0).astype(I32)
+    return [(packed >> (4 * k)) & 15 for k in range(fam.nsub)]
+
+
+def decode_weights(cfg: ModeCfg, lanes, pat):
+    """Raw quantized weights in decode order (k = plane_count*i + plane).
+
+    Anchor texels are stored with one less bit (MSB implicitly 0,
+    reference: uastc.rs:727-740)."""
+    wb = cfg.weight_bits
+    planes = cfg.plane_count
+    base = cfg.field_offsets["weights"]
+    anchors = decode_anchors(cfg, pat)
+    multi = cfg.subset_count > 1 or cfg.id == 7
+
+    weights = []
+    if not multi:
+        # Anchor is texel 0: fully static layout.
+        ofs = base
+        for i in range(16):
+            bits_i = wb - 1 if i == 0 else wb
+            for p in range(planes):
+                weights.append(extract(lanes, ofs, bits_i).astype(I32))
+                ofs += bits_i
+        return weights, anchors
+
+    # Multi-subset: anchor positions depend on the block's pattern.
+    is_anchor = []
+    anchors_before = []
+    for i in range(16):
+        ia = jnp.zeros_like(pat, dtype=bool)
+        ab = jnp.zeros_like(pat)
+        for a in anchors:
+            ia = ia | (a == i)
+            ab = ab + (a < i).astype(I32)
+        is_anchor.append(ia)
+        anchors_before.append(ab)
+
+    for i in range(16):
+        ia = is_anchor[i].astype(I32)
+        bits_i = wb - ia  # dynamic
+        texel_ofs = base + planes * (wb * i) - planes * anchors_before[i]
+        wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
+        for p in range(planes):
+            ofs = texel_ofs + p * bits_i
+            raw = extract_dyn(lanes, ofs, wb).astype(I32)
+            weights.append(raw & wmask)
+    return weights, anchors
+
+
+def unquant_weight(w, weight_bits: int):
+    """Quantized weight -> 0..64 scale, closed forms of the reference LUTs
+    (uastc.rs:697-719)."""
+    if weight_bits == 1:
+        return w * 64
+    if weight_bits == 2:
+        return 21 * w + (w >= 2)
+    if weight_bits == 3:
+        return 9 * w + (w >= 4)
+    if weight_bits == 4:
+        return 4 * w + (w >= 4) + 2 * (w >= 8) + (w >= 12)
+    if weight_bits == 5:
+        return 2 * w + 2 * (w >= 16)
+    raise ValueError(weight_bits)
+
+
+def astc_interpolate(l, h, w):
+    """Fixed-point ASTC interpolation, srgb=false path (uastc.rs:218-235).
+    l, h: 0..255 int32; w: 0..64 int32."""
+    l16 = l * 257
+    h16 = h * 257
+    k = (l16 * (64 - w) + h16 * w + 32) >> 6
+    return k >> 8
+
+
+def assemble_endpoint_pairs(cfg: ModeCfg, endpoints):
+    """[subset][lo/hi][channel rgba] nested list of int32[N]
+    (reference: uastc.rs:176-216)."""
+    pairs = []
+    full = jnp.full_like(endpoints[0], 255)
+    if cfg.format == 0:  # RGB
+        per = 6
+        for s in range(cfg.subset_count):
+            b = endpoints[s * per : (s + 1) * per]
+            pairs.append([[b[0], b[2], b[4], full], [b[1], b[3], b[5], full]])
+    elif cfg.format == 1:  # RGBA
+        per = 8
+        for s in range(cfg.subset_count):
+            b = endpoints[s * per : (s + 1) * per]
+            pairs.append([[b[0], b[2], b[4], b[6]], [b[1], b[3], b[5], b[7]]])
+    else:  # LA
+        per = 4
+        for s in range(cfg.subset_count):
+            b = endpoints[s * per : (s + 1) * per]
+            pairs.append([[b[0], b[0], b[0], b[2]], [b[1], b[1], b[1], b[3]]])
+    return pairs
+
+
+def decode_fields(cfg: ModeCfg, lanes) -> Fields:
+    """Full non-mode-8 field decode."""
+    assert cfg.id != 8
+    compsel = decode_compsel(cfg, lanes)
+    pat, err = decode_pattern(cfg, lanes)
+    tq, qbits, unq = decode_endpoints(cfg, lanes)
+    weights, anchors = decode_weights(cfg, lanes, pat)
+    return Fields(
+        err=err,
+        compsel=compsel,
+        pat=pat,
+        endpoints=unq,
+        quant_tq=tq,
+        quant_bits=qbits,
+        weights=weights,
+        anchors=anchors,
+    )
+
+
+def subsets_for_texels(cfg: ModeCfg, pat):
+    """texel -> subset assignment, list of 16 int32[N]
+    (reference: uastc.rs:368-376)."""
+    fam = get_family(cfg)
+    if fam is None or cfg.id == 1:
+        z = jnp.zeros_like(pat)
+        return [z] * 16
+    packed = jnp.take(jnp.asarray(fam.pat_packed), pat, axis=0).astype(I32)
+    return [(packed >> (2 * i)) & 3 for i in range(16)]
+
+
+def decode_mode8_rgba(lanes):
+    """Void-extent solid color, channels (r, g, b, a) int32[N]
+    (reference: uastc.rs:387-394)."""
+    from ..tables import MODE8_RGBA_OFFSET as O
+
+    return [extract(lanes, O + 8 * c, 8).astype(I32) for c in range(4)]
