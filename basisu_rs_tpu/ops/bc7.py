@@ -1,0 +1,343 @@
+"""UASTC -> BC7 block repack, vectorized per mode.
+
+Mirrors `convert_block_from_uastc` (reference: src/target_formats/bc7.rs:9-310):
+mode-mapped repack with endpoint permutation, anchor-driven endpoint swap +
+weight inversion, p-bit determination, and field emission.  The reference's
+f32 p-bit search (bc7.rs:408-553) is reproduced bit-exactly via IEEE-f32 term
+LUTs (see tables/bc7_tables.py): the device performs only IEEE-exact f32
+additions and comparisons, in the reference's summation order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tables import (
+    BC7_MODES,
+    ModeCfg,
+    bc7_mode_5_optimal_endpoints,
+    bc7_mode_6_optimal_endpoints,
+    get_family,
+    np_tables,
+    pbit_luts,
+)
+from .bits import LaneWriter, U32, mask
+from .uastc_decode import (
+    assemble_endpoint_pairs,
+    decode_fields,
+    decode_mode8_rgba,
+)
+
+I32 = jnp.int32
+
+
+def _dyn_select(arrays, idx):
+    """arrays: list of [N] tensors; idx: int32[N] -> arrays[idx] elementwise."""
+    out = arrays[0]
+    for k in range(1, len(arrays)):
+        out = jnp.where(idx == k, arrays[k], out)
+    return out
+
+
+def _take(table_np, idx):
+    return jnp.take(jnp.asarray(table_np), idx, axis=0).astype(I32)
+
+
+def remap_weight_to_bc7(w, uastc_bits: int, bc7_bits: int):
+    """Closed forms of convert_weights_to_bc7's LUTs (bc7.rs:377-398)."""
+    if uastc_bits == bc7_bits:
+        return w
+    if (uastc_bits, bc7_bits) == (1, 2):
+        return 3 * w
+    if (uastc_bits, bc7_bits) == (2, 4):
+        return 5 * w
+    if (uastc_bits, bc7_bits) == (3, 4):
+        return 2 * w + (w >= 4)
+    if (uastc_bits, bc7_bits) == (5, 4):
+        # [0,0,1,1,...]: floor(w/2) with two spec deviations (bc7.rs:381-384)
+        return (w >> 1) - (w == 14) + (w == 17)
+    raise ValueError((uastc_bits, bc7_bits))
+
+
+# ---------------------------------------------------------------------------
+# p-bit determination (bc7.rs:408-553), bit-exact via f32 term LUTs
+# ---------------------------------------------------------------------------
+
+
+def _fold_add_f32(terms):
+    """Left-fold f32 addition in the reference's accumulation order."""
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
+def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
+    """e_lo/e_hi: [4] lists of int32[N] 0..255.  Returns quantized endpoint
+    lists (>>1 values) and (pb_lo, pb_hi) int32[N]."""
+    xq, err_u, _ = pbit_luts(comp_bits + 1)
+    errs = {}
+    for p in (0, 1):
+        tbl = jnp.asarray(err_u[p])
+        errs[p] = (
+            _fold_add_f32([jnp.take(tbl, e_lo[c], axis=0) for c in range(total_comps)]),
+            _fold_add_f32([jnp.take(tbl, e_hi[c], axis=0) for c in range(total_comps)]),
+        )
+    pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
+    pb_hi = (errs[1][1] < errs[0][1]).astype(I32)
+    q0, q1 = jnp.asarray(xq[0]), jnp.asarray(xq[1])
+    new_lo = [jnp.where(pb_lo == 1, jnp.take(q1, e_lo[c]), jnp.take(q0, e_lo[c])).astype(I32) for c in range(4)]
+    new_hi = [jnp.where(pb_hi == 1, jnp.take(q1, e_hi[c]), jnp.take(q0, e_hi[c])).astype(I32) for c in range(4)]
+    return new_lo, new_hi, pb_lo, pb_hi
+
+
+def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
+    xq, _, err_s = pbit_luts(comp_bits + 1)
+    errs = {}
+    for p in (0, 1):
+        tbl = jnp.asarray(err_s[p])
+        terms = [
+            jnp.take(tbl, e_lo[c], axis=0) + jnp.take(tbl, e_hi[c], axis=0)
+            for c in range(total_comps)
+        ]
+        errs[p] = _fold_add_f32(terms)
+    sb = (errs[1] < errs[0]).astype(I32)
+    q0, q1 = jnp.asarray(xq[0]), jnp.asarray(xq[1])
+    new_lo = [jnp.where(sb == 1, jnp.take(q1, e_lo[c]), jnp.take(q0, e_lo[c])).astype(I32) for c in range(4)]
+    new_hi = [jnp.where(sb == 1, jnp.take(q1, e_hi[c]), jnp.take(q0, e_hi[c])).astype(I32) for c in range(4)]
+    return new_lo, new_hi, sb, sb
+
+
+# ---------------------------------------------------------------------------
+# mode 8 (void extent) -> BC7 mode 5/6 solid color (bc7.rs:18-58, 312-375)
+# ---------------------------------------------------------------------------
+
+
+def _mode8_to_bc7(lanes):
+    rgba = decode_mode8_rgba(lanes)  # [r,g,b,a] int32[N]
+    shape = rgba[0].shape
+
+    # mode 6 per-p error: only extremes are lossy (bc7.rs:1133-1136)
+    err0 = sum((c == 255).astype(I32) for c in rgba)  # p_bit = 0
+    err1 = sum((c == 0).astype(I32) for c in rgba)  # p_bit = 1
+    use5 = (err0 > 0) & (err1 > 0)
+    best_p = (err1 < err0).astype(I32)
+
+    m5 = bc7_mode_5_optimal_endpoints()  # [256, 2]
+    m6 = bc7_mode_6_optimal_endpoints()  # [257, 2]
+
+    # --- mode 5 layout: 6 mode bits, 2 rotation, 3x7x2 color, 8x2 alpha,
+    #     2x(1+15x2) weights
+    w5 = LaneWriter(shape, 4)
+    w5.put(jnp.full(shape, 1 << 5, U32), 0, 6)
+    ofs = 8  # rotation bits are 0
+    for c in range(3):
+        w5.put(_take(m5[:, 0], rgba[c]), ofs, 7)
+        w5.put(_take(m5[:, 1], rgba[c]), ofs + 7, 7)
+        ofs += 14
+    w5.put(rgba[3], ofs, 8)
+    w5.put(rgba[3], ofs + 8, 8)
+    ofs += 16
+    # color weights: all BC7ENC_MODE_5_OPTIMAL_INDEX (=1)
+    w5.put(jnp.full(shape, 1, U32), ofs, 1)
+    ofs += 1
+    for _ in range(15):
+        w5.put(jnp.full(shape, 1, U32), ofs, 2)
+        ofs += 2
+    # alpha weights: all 0 (nothing to write)
+    out5 = w5.stack()
+
+    # --- mode 6 layout: 7 mode bits, 4x7x2 endpoints, 2 p-bits, 1x(3+15x4)
+    idx6 = best_p  # table index c + (1 - p)  (bc7.rs:1126-1131)
+    w6 = LaneWriter(shape, 4)
+    w6.put(jnp.full(shape, 1 << 6, U32), 0, 7)
+    ofs = 7
+    for c in range(4):
+        i = rgba[c] + (1 - idx6)
+        w6.put(_take(m6[:, 0], i), ofs, 7)
+        w6.put(_take(m6[:, 1], i), ofs + 7, 7)
+        ofs += 14
+    w6.put((best_p << 1) | best_p, ofs, 2)
+    ofs += 2
+    w6.put(jnp.full(shape, 5, U32), ofs, 3)
+    ofs += 3
+    for _ in range(15):
+        w6.put(jnp.full(shape, 5, U32), ofs, 4)
+        ofs += 4
+    out6 = w6.stack()
+
+    out = jnp.where(use5[:, None], out5, out6)
+    return out, jnp.zeros(shape, bool)
+
+
+# ---------------------------------------------------------------------------
+# general path
+# ---------------------------------------------------------------------------
+
+
+def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
+    """uint32[N,4] UASTC lanes -> (uint32[N,4] BC7 lanes, err[N])."""
+    if cfg.id == 8:
+        return _mode8_to_bc7(lanes)
+
+    t = np_tables()
+    bc7_idx = int(t["UASTC_TO_BC7_MODES"][cfg.id])
+    bm = BC7_MODES[bc7_idx]
+    cc = bm.channel_count
+    wb7 = bm.weight_bits
+    wmask7 = mask(wb7)
+    shape = lanes.shape[:-1]
+
+    f = decode_fields(cfg, lanes)
+    pairs = assemble_endpoint_pairs(cfg, f.endpoints)  # [uastc subset][2][4]
+
+    # weights, remapped to the BC7 scale (bc7.rs:87-103)
+    if cfg.plane_count == 1:
+        w = [[remap_weight_to_bc7(f.weights[i], cfg.weight_bits, wb7) for i in range(16)]]
+    else:
+        w = [
+            [remap_weight_to_bc7(f.weights[2 * i], cfg.weight_bits, wb7) for i in range(16)],
+            [remap_weight_to_bc7(f.weights[2 * i + 1], cfg.weight_bits, wb7) for i in range(16)],
+        ]
+
+    writer = LaneWriter(shape, 4)
+    writer.put(jnp.full(shape, 1 << bc7_idx, U32), 0, bc7_idx + 1)
+    ofs = bc7_idx + 1
+
+    nsub7 = bm.subset_count
+    bc7_anchor_vals = None  # per-subset anchor texel (subset 0 -> 0)
+    e_lo = [[None] * 4 for _ in range(nsub7)]
+    e_hi = [[None] * 4 for _ in range(nsub7)]
+
+    if nsub7 != 1:
+        fam = get_family(cfg)
+        bc7_pat = _take(fam.bc7_index, f.pat)
+        pat_packed = _take(fam.bc7_pat_packed, f.pat)
+        subs7 = [(pat_packed >> (2 * i)) & 3 for i in range(16)]
+        anch_packed = _take(fam.bc7_anchors_packed, f.pat)
+        bc7_anchor_vals = [jnp.zeros(shape, I32)] + [
+            (anch_packed >> (4 * k)) & 15 for k in range(1, nsub7)
+        ]
+        perm_packed = _take(fam.perm_packed, f.pat)
+
+        writer.put(bc7_pat, ofs, bm.pat_bits)
+        ofs += bm.pat_bits
+
+        # permute endpoints: BC7 subset j <- UASTC subset perm[j] (bc7.rs:163-169)
+        for j in range(nsub7):
+            pj = (perm_packed >> (4 * j)) & 15
+            for k, dst in ((0, e_lo), (1, e_hi)):
+                for c in range(4):
+                    dst[j][c] = _dyn_select([pairs[s][k][c] for s in range(cfg.subset_count)], pj)
+
+        # swap endpoints + invert weights where the anchor MSB is set
+        # (bc7.rs:171-195)
+        inv = [
+            ((_dyn_select(w[0], bc7_anchor_vals[s]) >> (wb7 - 1)) & 1).astype(bool)
+            for s in range(nsub7)
+        ]
+        for j in range(nsub7):
+            for c in range(4):
+                lo, hi = e_lo[j][c], e_hi[j][c]
+                e_lo[j][c] = jnp.where(inv[j], hi, lo)
+                e_hi[j][c] = jnp.where(inv[j], lo, hi)
+        for i in range(16):
+            inv_i = _dyn_select([inv[s].astype(I32) for s in range(nsub7)], subs7[i])
+            w[0][i] = jnp.where(inv_i == 1, (~w[0][i]) & wmask7, w[0][i])
+    else:
+        for c in range(4):
+            e_lo[0][c] = pairs[0][0][c]
+            e_hi[0][c] = pairs[0][1][c]
+        if cfg.plane_count == 1:
+            invb = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
+            for c in range(4):
+                lo, hi = e_lo[0][c], e_hi[0][c]
+                e_lo[0][c] = jnp.where(invb, hi, lo)
+                e_hi[0][c] = jnp.where(invb, lo, hi)
+            for i in range(16):
+                w[0][i] = jnp.where(invb, (~w[0][i]) & wmask7, w[0][i])
+        else:
+            # channel rotation: swap compsel channel with alpha (bc7.rs:216-219)
+            cs = f.compsel
+            for dst in (e_lo[0], e_hi[0]):
+                old = list(dst)
+                for c in range(3):
+                    dst[c] = jnp.where(cs == c, old[3], old[c])
+                dst[3] = _dyn_select(old, cs)
+            inv0 = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
+            inv1 = ((w[1][0] >> (wb7 - 1)) & 1).astype(bool)
+            for c in range(4):
+                lo, hi = e_lo[0][c], e_hi[0][c]
+                e_lo[0][c] = jnp.where(inv0, hi, lo)
+                e_hi[0][c] = jnp.where(inv0, lo, hi)
+            xa, ya = e_lo[0][3], e_hi[0][3]
+            diff = inv0 != inv1
+            e_lo[0][3] = jnp.where(diff, ya, xa)
+            e_hi[0][3] = jnp.where(diff, xa, ya)
+            for plane, invp in ((0, inv0), (1, inv1)):
+                for i in range(16):
+                    w[plane][i] = jnp.where(invp, (~w[plane][i]) & wmask7, w[plane][i])
+            writer.put(((cs + 1) & 3).astype(U32), ofs, 2)
+            ofs += 2
+            if bm.id == 4:
+                ofs += 1  # index selection bit, always 0 (bc7.rs:241-244)
+
+    # ---- p-bits / endpoint scaling (bc7.rs:249-274) ----
+    pb = []
+    if bm.p_bits:
+        for j in range(nsub7):
+            lo, hi, p0, p1 = determine_unique_pbits(cc, bm.color_bits, e_lo[j], e_hi[j])
+            e_lo[j], e_hi[j] = lo, hi
+            pb.append((p0, p1))
+    elif bm.sp_bits:
+        for j in range(nsub7):
+            lo, hi, p0, p1 = determine_shared_pbits(cc, bm.color_bits, e_lo[j], e_hi[j])
+            e_lo[j], e_hi[j] = lo, hi
+            pb.append((p0, p1))
+    else:
+        for j in range(nsub7):
+            for c in range(3):
+                e_lo[j][c] = (e_lo[j][c] * mask(bm.color_bits) + 127) // 255
+                e_hi[j][c] = (e_hi[j][c] * mask(bm.color_bits) + 127) // 255
+            e_lo[j][3] = (e_lo[j][3] * mask(bm.alpha_bits) + 127) // 255
+            e_hi[j][3] = (e_hi[j][3] * mask(bm.alpha_bits) + 127) // 255
+
+    # ---- endpoint emission (bc7.rs:276-286) ----
+    for c in range(cc):
+        bits = bm.color_bits if c != 3 else bm.alpha_bits
+        for j in range(nsub7):
+            writer.put(e_lo[j][c], ofs, bits)
+            writer.put(e_hi[j][c], ofs + bits, bits)
+            ofs += 2 * bits
+
+    if bm.p_bits:
+        for j in range(nsub7):
+            writer.put((pb[j][1] << 1) | pb[j][0], ofs, 2)
+            ofs += 2
+    elif bm.sp_bits:
+        writer.put((pb[1][0] << 1) | pb[0][0], ofs, 2)
+        ofs += 2
+
+    # ---- weight emission (bc7.rs:296-307) ----
+    # Anchor texels are stored with one less bit; inversion guarantees their
+    # MSB is 0, so depositing the full wb7-bit value never overlaps.
+    if nsub7 == 1:
+        for plane_w in w:
+            for i in range(16):
+                bits_i = wb7 - 1 if i == 0 else wb7
+                writer.put(plane_w[i], ofs, bits_i)
+                ofs += bits_i
+    else:
+        anchors_before = []
+        for i in range(16):
+            ab = jnp.zeros(shape, I32)
+            for a in bc7_anchor_vals:
+                ab = ab + (a < i).astype(I32)
+            anchors_before.append(ab)
+        for i in range(16):
+            pos = ofs + wb7 * i - anchors_before[i]
+            writer.put_dyn(w[0][i], pos, wb7)
+        ofs += 16 * wb7 - nsub7
+
+    return writer.stack(), f.err
