@@ -13,6 +13,7 @@ Public API mirrors the reference crate surface (src/lib.rs:20-53):
 """
 
 from .api import (
+    BasisError,
     Image,
     transcode_uastc_block_to_astc,
     transcode_uastc_block_to_bc7,
@@ -21,11 +22,30 @@ from .api import (
     transcode_uastc_blocks,
     unpack_uastc_block_to_rgba,
 )
+from .container.basis import (
+    Header,
+    SliceDesc,
+    read_to_astc,
+    read_to_bc7,
+    read_to_etc1,
+    read_to_etc2,
+    read_to_rgba,
+    read_to_uastc,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "BasisError",
+    "Header",
     "Image",
+    "SliceDesc",
+    "read_to_astc",
+    "read_to_bc7",
+    "read_to_etc1",
+    "read_to_etc2",
+    "read_to_rgba",
+    "read_to_uastc",
     "transcode_uastc_block_to_astc",
     "transcode_uastc_block_to_bc7",
     "transcode_uastc_block_to_etc1",

@@ -1,0 +1,342 @@
+"""UASTC -> ETC1 / ETC2 transcode, vectorized per mode.
+
+Mirrors `convert_block_from_uastc` in the reference's ETC backend
+(src/target_formats/etc.rs:32-341): the only UASTC path that composes the full
+RGBA decode with an encode stage - per-subblock average colors, hint-driven
+bias nudges, luminance-projection selector re-derivation, and the EAC alpha
+block for ETC2.  Also hosts the shared ETC helpers used by the ETC1S backend
+(palette construction, selector wire format; etc.rs:343-468).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..tables import MODE8_ETC1_FLAGS_OFFSET, MODE8_RGBA_OFFSET, ModeCfg, np_tables
+from .bits import LaneWriter, U32, extract
+from .rgba import uastc_to_rgba_channels
+
+I32 = jnp.int32
+
+LUM_FACTORS = (108, 366, 38)
+
+
+# ---------------------------------------------------------------------------
+# shared ETC helpers (etc.rs:343-468)
+# ---------------------------------------------------------------------------
+
+
+def color_5_to_8(c):
+    return (c << 3) | (c >> 2)
+
+
+def color_4_to_8(c):
+    return (c << 4) | c
+
+
+def etc1_palette(base_rgb, inten):
+    """4-color ETC1 palette for a subblock: clamp(base + modifier) per level.
+
+    base_rgb: [r,g,b] int32[N] (0..255); inten: int32[N] 0..7.
+    Returns [level k][channel c] nested list (etc.rs:420-431)."""
+    mods = np_tables()["ETC1_MODIFIERS"]  # [8, 4] int32
+    flat = jnp.asarray(mods.reshape(-1))
+    colors = []
+    for k in range(4):
+        m = jnp.take(flat, inten * 4 + k, axis=0)
+        colors.append([jnp.clip(base_rgb[c] + m, 0, 255) for c in range(3)])
+    return colors
+
+
+def selector_wire_bits(sel, pixel_id: int):
+    """Contribution of one texel's 2-bit selector to the 32-bit ETC1 selector
+    word, at static pixel_id (column-major x*4+y; etc.rs:363-393).
+
+    ETC1 wire format: byte0 = MSBs of pixels 8..15, byte1 = MSBs of 0..7,
+    byte2/3 = LSBs likewise; bit index = pixel_id % 8."""
+    # mod_id = SELECTOR_ID_TO_ETC1[sel] = [3, 2, 0, 1][sel]
+    mod_id = jnp.take(jnp.asarray(np_tables()["SELECTOR_ID_TO_ETC1"].astype("int32")), sel, axis=0)
+    ms = (mod_id >> 1) & 1
+    ls = mod_id & 1
+    ms_byte = 1 - pixel_id // 8
+    ls_byte = ms_byte + 2
+    bit = pixel_id % 8
+    return (ms.astype(U32) << (8 * ms_byte + bit)) | (ls.astype(U32) << (8 * ls_byte + bit))
+
+
+# ---------------------------------------------------------------------------
+# trans flags (uastc.rs:411-441)
+# ---------------------------------------------------------------------------
+
+
+def decode_trans_flags(cfg: ModeCfg, lanes):
+    ofs = cfg.field_offsets["trans_flags"]
+    out = {}
+    out["bc1h0"] = extract(lanes, ofs, 1).astype(I32)
+    ofs += 1
+    if not 10 <= cfg.id <= 12:
+        out["bc1h1"] = extract(lanes, ofs, 1).astype(I32)
+        ofs += 1
+    else:
+        out["bc1h1"] = jnp.zeros(lanes.shape[:-1], I32)
+    out["etc1f"] = extract(lanes, ofs, 1).astype(I32)
+    out["etc1d"] = extract(lanes, ofs + 1, 1).astype(I32)
+    out["etc1i0"] = extract(lanes, ofs + 2, 3).astype(I32)
+    out["etc1i1"] = extract(lanes, ofs + 5, 3).astype(I32)
+    ofs += 8
+    if not 10 <= cfg.id <= 12:
+        out["etc1bias"] = extract(lanes, ofs, 5).astype(I32)
+        ofs += 5
+    else:
+        out["etc1bias"] = None
+    if cfg.has_alpha:
+        out["etc2tm"] = extract(lanes, ofs, 8).astype(I32)
+    else:
+        out["etc2tm"] = jnp.zeros(lanes.shape[:-1], I32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EAC alpha block (etc.rs:261-341)
+# ---------------------------------------------------------------------------
+
+_SOLID_ALPHA_LANE0_HI = 0x92 << 16 | 0x49 << 24  # mod table 13, multiplier 1
+_SOLID_ALPHA_LANE1 = 0x24 | 0x92 << 8 | 0x49 << 16 | 0x24 << 24
+
+
+def _solid_alpha_lanes(value):
+    """Solid EAC block: value byte, table 13 / multiplier 1, all weights 4."""
+    lane0 = value.astype(U32) | U32(0x1D << 8) | U32(_SOLID_ALPHA_LANE0_HI)
+    lane1 = jnp.full(value.shape, _SOLID_ALPHA_LANE1, U32)
+    return lane0, lane1
+
+
+def write_etc2_alpha_block(etc2tm, texels):
+    """Returns (lane0, lane1) of the 8-byte EAC alpha block."""
+    t = np_tables()
+    shape = etc2tm.shape
+    alphas = [texels[i][3] for i in range(16)]
+
+    min_a = alphas[0]
+    max_a = alphas[0]
+    for a in alphas[1:]:
+        min_a = jnp.minimum(min_a, a)
+        max_a = jnp.maximum(max_a, a)
+
+    solid0_255, solid1_255 = _solid_alpha_lanes(jnp.full(shape, 255, I32))
+    solid0_min, solid1_min = _solid_alpha_lanes(min_a)
+
+    # general path
+    tbl_idx = etc2tm & 15
+    mult = etc2tm >> 4
+    mods_flat = jnp.asarray(t["ETC2_ALPHA_MODIFIERS"].reshape(-1))
+    mods = [jnp.take(mods_flat, tbl_idx * 8 + j, axis=0) for j in range(8)]
+    frac = jnp.take(jnp.asarray(t["ETC2_ALPHA_FRACTION"]), tbl_idx, axis=0)
+
+    # center = round(lerp(min, max, frac)) in f32, round half away from zero
+    # (always >= 0 here), etc.rs:301-307
+    f32 = jnp.float32
+    lerped = min_a.astype(f32) * (f32(1.0) - frac) + max_a.astype(f32) * frac
+    center = jnp.trunc(lerped + f32(0.5)).astype(I32)
+
+    values = [jnp.clip(center + mods[j] * mult, 0, 255) for j in range(8)]
+
+    lane0 = (center.astype(U32) & 0xFF) | (etc2tm.astype(U32) << 8)
+    lane1 = jnp.zeros(shape, U32)
+    for i in range(16):
+        a = alphas[i]
+        best_d = jnp.full(shape, 1 << 20, I32)
+        best_j = jnp.zeros(shape, I32)
+        for j in range(8):
+            d = jnp.abs(values[j] - a)
+            take_it = d < best_d  # first minimal j wins (Iterator::min_by_key)
+            best_d = jnp.where(take_it, d, best_d)
+            best_j = jnp.where(take_it, j, best_j)
+        # transposed pixel order (etc.rs:325-327)
+        x, y = i // 4, i % 4
+        pid = y * 4 + x
+        s = 45 - pid * 3  # bit position in the big-endian u64
+        for b in range(3):
+            p = s + b
+            # big-endian byte reversal: u64 bit p -> block byte 7 - p//8
+            out_bit = 56 - 8 * (p // 8) + (p % 8)  # absolute LE bit offset
+            bitval = ((best_j >> b) & 1).astype(U32)
+            if out_bit < 32:
+                lane0 = lane0 | (bitval << out_bit)
+            else:
+                lane1 = lane1 | (bitval << (out_bit - 32))
+
+    lane0 = jnp.where(min_a == max_a, solid0_min, lane0)
+    lane1 = jnp.where(min_a == max_a, solid1_min, lane1)
+    lane0 = jnp.where(etc2tm == 0, solid0_255, lane0)
+    lane1 = jnp.where(etc2tm == 0, solid1_255, lane1)
+    return lane0, lane1
+
+
+# ---------------------------------------------------------------------------
+# bias application (etc.rs:113-120, 203-259)
+# ---------------------------------------------------------------------------
+
+
+def _apply_etc1_bias(color, bias, limit, subblock: int):
+    """color: [3] list of int32[N]; bias: int32[N]; limit: int32[N] (15/31)."""
+    deltas_flat = jnp.asarray(np_tables()["ETC_BIAS_DELTAS"].reshape(-1).astype("int32"))
+    out = []
+    for c in range(3):
+        delta = jnp.take(deltas_flat, bias * 6 + subblock * 3 + c, axis=0)
+        v = color[c]
+        at_zero = jnp.where(delta == -2, v + 3, v + delta + 1)
+        at_limit = v + delta - 1
+        plain = v + delta
+        plain = jnp.where((plain < 0) | (plain > limit), v - delta, plain)
+        res = jnp.where(v == 0, at_zero, jnp.where(v == limit, at_limit, plain))
+        out.append(res)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# main paths
+# ---------------------------------------------------------------------------
+
+
+def _mode8_etc1_lanes(lanes):
+    """Mode 8: ETC1 block straight from the hint flags (etc.rs:43-75)."""
+    shape = lanes.shape[:-1]
+    O = MODE8_ETC1_FLAGS_OFFSET
+    d = extract(lanes, O, 1).astype(I32)
+    i = extract(lanes, O + 1, 3).astype(I32)
+    s = extract(lanes, O + 4, 2).astype(I32)
+    r = extract(lanes, O + 6, 5).astype(I32)
+    g = extract(lanes, O + 11, 5).astype(I32)
+    b = extract(lanes, O + 16, 5).astype(I32)
+
+    byte0 = jnp.where(d == 0, (r << 4) | r, r << 3)
+    byte1 = jnp.where(d == 0, (g << 4) | g, g << 3)
+    byte2 = jnp.where(d == 0, (b << 4) | b, b << 3)
+    byte3 = (i << 5) | (i << 2) | (d << 1)
+    lane0 = (
+        byte0.astype(U32)
+        | (byte1.astype(U32) << 8)
+        | (byte2.astype(U32) << 16)
+        | (byte3.astype(U32) << 24)
+    )
+    sel = jnp.take(jnp.asarray([0b11, 0b10, 0b00, 0b01], I32), s, axis=0)
+    s_lo = (sel & 1).astype(U32)
+    s_hi = (sel >> 1).astype(U32)
+    lane1 = (U32(0xFFFF) * s_hi) | ((U32(0xFFFF) * s_lo) << 16)
+    return lane0, lane1
+
+
+def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
+    """The 8-byte ETC1 RGB block for non-mode-8 blocks (etc.rs:78-200)."""
+    shape = lanes.shape[:-1]
+    etc1f = flags["etc1f"]
+    etc1d = flags["etc1d"]
+
+    # optional transpose: !flip -> column-major subblocks (etc.rs:86-95)
+    tex_f = []
+    for i in range(16):
+        tr = (i % 4) * 4 + i // 4
+        tex_f.append(
+            [jnp.where(etc1f == 1, texels[i][c], texels[tr][c]) for c in range(3)]
+        )
+
+    limit = jnp.where(etc1d == 1, 31, 15)
+
+    avgs = []
+    for sb in range(2):
+        sub = tex_f[sb * 8 : sb * 8 + 8]
+        avg = []
+        for c in range(3):
+            ssum = sub[0][c]
+            for t in sub[1:]:
+                ssum = ssum + t[c]
+            avg.append((ssum * limit + 1020) // (8 * 255))
+        avgs.append(avg)
+
+    if flags["etc1bias"] is not None:
+        c0 = _apply_etc1_bias(avgs[0], flags["etc1bias"], limit, 0)
+        c1 = _apply_etc1_bias(avgs[1], flags["etc1bias"], limit, 1)
+    else:
+        c0, c1 = avgs
+
+    # color bytes + palette bases (etc.rs:122-149)
+    d = [jnp.clip(c1[c] - c0[c], -4, 3) for c in range(3)]
+    bytes_ind = [(c0[c] << 4) | c1[c] for c in range(3)]
+    bytes_diff = [(c0[c] << 3) | (d[c] & 7) for c in range(3)]
+    c1_diff = [c0[c] + d[c] for c in range(3)]
+
+    base0 = [jnp.where(etc1d == 1, color_5_to_8(c0[c]), color_4_to_8(c0[c])) for c in range(3)]
+    base1 = [
+        jnp.where(etc1d == 1, color_5_to_8(c1_diff[c]), color_4_to_8(c1[c])) for c in range(3)
+    ]
+    pal0 = etc1_palette(base0, flags["etc1i0"])
+    pal1 = etc1_palette(base1, flags["etc1i1"])
+
+    color_bytes = [jnp.where(etc1d == 1, bytes_diff[c], bytes_ind[c]) for c in range(3)]
+    byte3 = (flags["etc1i0"] << 5) | (flags["etc1i1"] << 2) | (etc1d << 1) | etc1f
+    lane0 = (
+        color_bytes[0].astype(U32)
+        | (color_bytes[1].astype(U32) << 8)
+        | (color_bytes[2].astype(U32) << 16)
+        | (byte3.astype(U32) << 24)
+    )
+
+    # selector re-derivation by luminance projection (etc.rs:160-196)
+    lane1 = jnp.zeros(shape, U32)
+    for sb, pal in ((0, pal0), (1, pal1)):
+        lums = []
+        for k in range(4):
+            lums.append(
+                pal[k][0] * LUM_FACTORS[0]
+                + pal[k][1] * LUM_FACTORS[1]
+                + pal[k][2] * LUM_FACTORS[2]
+            )
+        th01 = (lums[0] + lums[1]) // 2
+        th12 = (lums[1] + lums[2]) // 2
+        th23 = (lums[2] + lums[3]) // 2
+        for i in range(8):
+            px = tex_f[sb * 8 + i]
+            lum = px[0] * LUM_FACTORS[0] + px[1] * LUM_FACTORS[1] + px[2] * LUM_FACTORS[2]
+            sel = (
+                (lum >= th01).astype(I32)
+                + (lum >= th12).astype(I32)
+                + (lum >= th23).astype(I32)
+            )
+            x = i & 3
+            y = 2 * sb + (i >> 2)
+            pid_flip = x * 4 + y  # set_selector(x, y)
+            pid_nof = y * 4 + x  # set_selector(y, x)
+            contrib = jnp.where(
+                etc1f == 1,
+                selector_wire_bits(sel, pid_flip),
+                selector_wire_bits(sel, pid_nof),
+            )
+            lane1 = lane1 | contrib
+    return lane0, lane1
+
+
+def uastc_to_etc1_mode(cfg: ModeCfg, lanes):
+    """uint32[N,4] UASTC lanes -> (uint32[N,2] ETC1 lanes, err[N])."""
+    if cfg.id == 8:
+        lane0, lane1 = _mode8_etc1_lanes(lanes)
+        return jnp.stack([lane0, lane1], axis=-1), jnp.zeros(lanes.shape[:-1], bool)
+    flags = decode_trans_flags(cfg, lanes)
+    texels, err = uastc_to_rgba_channels(cfg, lanes)
+    lane0, lane1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
+    return jnp.stack([lane0, lane1], axis=-1), err
+
+
+def uastc_to_etc2_mode(cfg: ModeCfg, lanes):
+    """uint32[N,4] UASTC lanes -> (uint32[N,4] ETC2 lanes: EAC alpha block
+    then ETC1 RGB block, err[N])."""
+    if cfg.id == 8:
+        a = extract(lanes, MODE8_RGBA_OFFSET + 24, 8).astype(I32)
+        a0, a1 = _solid_alpha_lanes(a)
+        r0, r1 = _mode8_etc1_lanes(lanes)
+        return jnp.stack([a0, a1, r0, r1], axis=-1), jnp.zeros(lanes.shape[:-1], bool)
+    flags = decode_trans_flags(cfg, lanes)
+    texels, err = uastc_to_rgba_channels(cfg, lanes)
+    a0, a1 = write_etc2_alpha_block(flags["etc2tm"], texels)
+    r0, r1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
+    return jnp.stack([a0, a1, r0, r1], axis=-1), err

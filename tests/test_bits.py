@@ -1,0 +1,105 @@
+"""Exhaustive-ish bit I/O property tests.
+
+Mirrors the reference's tier-1 strategy (bitreader.rs:63-99,
+bitwriter.rs:118-225: pattern sweeps over offsets x lengths) against an
+independent big-int oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from basisu_rs_tpu.ops.bits import (
+    LaneWriter,
+    bitrev,
+    bytes_from_lanes_np,
+    extract,
+    extract_dyn,
+    lanes_from_bytes_np,
+    mask,
+)
+
+
+def patterns():
+    """16 test patterns: alternating bits with segments inverted."""
+    base = 0x5555_5555_5555_5555_5555_5555_5555_5555
+    out = []
+    for i in range(16):
+        xor = 0
+        for seg in range(4):
+            if (i >> seg) & 1:
+                xor |= ((1 << 32) - 1) << (32 * seg)
+        out.append(base ^ xor)
+    return out
+
+
+def int_to_lanes(v: int) -> np.ndarray:
+    return np.array([[(v >> (32 * k)) & 0xFFFFFFFF for k in range(4)]], np.uint32)
+
+
+@pytest.mark.parametrize("count", [1, 3, 5, 8, 13, 21, 32])
+def test_extract_static_matches_oracle(count):
+    for p in patterns():
+        lanes = jnp.asarray(int_to_lanes(p))
+        for offset in range(0, 128 - count + 1, 7):
+            got = int(extract(lanes, offset, count)[0])
+            assert got == (p >> offset) & mask(count), (offset, count)
+
+
+def test_extract_past_end_returns_zero_bits():
+    # reads beyond bit 128 yield zeros (bitreader.rs:45,55)
+    p = (1 << 128) - 1
+    lanes = jnp.asarray(int_to_lanes(p))
+    assert int(extract(lanes, 120, 8)[0]) == 0xFF
+    got = int(extract_dyn(lanes, jnp.array([126]), 8)[0])
+    assert got == 0b11  # two real bits, six zeros
+
+
+@pytest.mark.parametrize("count", [1, 4, 5, 7, 8])
+def test_extract_dyn_matches_static(count):
+    ps = patterns()
+    lanes = jnp.asarray(np.concatenate([int_to_lanes(p) for p in ps], axis=0))
+    for offset in range(0, 128 - count + 1, 3):
+        offs = jnp.full((len(ps),), offset, jnp.int32)
+        d = np.asarray(extract_dyn(lanes, offs, count))
+        s = np.asarray(extract(lanes, offset, count))
+        np.testing.assert_array_equal(d, s)
+
+
+def test_writer_static_and_dyn_agree_with_oracle():
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        fields = []
+        ofs = 0
+        while ofs < 120:
+            count = int(rng.integers(1, 9))
+            if ofs + count > 128:
+                break
+            fields.append((ofs, count, int(rng.integers(0, 1 << count))))
+            ofs += count
+        expected = 0
+        for o, c, v in fields:
+            expected |= v << o
+
+        w1 = LaneWriter((1,), 4)
+        w2 = LaneWriter((1,), 4)
+        for o, c, v in fields:
+            w1.put(jnp.full((1,), v, jnp.uint32), o, c)
+            w2.put_dyn(jnp.full((1,), v, jnp.uint32), jnp.full((1,), o, jnp.int32), c)
+        for w in (w1, w2):
+            lanes = np.asarray(w.stack())
+            got = sum(int(lanes[0, k]) << (32 * k) for k in range(4))
+            assert got == expected
+
+
+def test_bitrev():
+    v = jnp.asarray(np.array([0b10110], np.uint32))
+    assert int(bitrev(v, 5)[0]) == 0b01101
+
+
+def test_lane_byte_round_trip():
+    rng = np.random.default_rng(1)
+    b = rng.integers(0, 256, size=(5, 16), dtype=np.uint8)
+    lanes = lanes_from_bytes_np(b, 4)
+    np.testing.assert_array_equal(bytes_from_lanes_np(lanes), b)

@@ -1,0 +1,187 @@
+"""Container-level integration tests over synthetic .basis files.
+
+The reference's corpus tests need author-local textures (corpus_tests.rs,
+ignored in CI); instead we *write* spec-conformant .basis files with the test
+writer and check full-file decodes against independently computed expecteds.
+"""
+
+import numpy as np
+import pytest
+
+from basisu_rs_tpu import (
+    BasisError,
+    read_to_astc,
+    read_to_bc7,
+    read_to_etc1,
+    read_to_etc2,
+    read_to_rgba,
+    read_to_uastc,
+)
+from basisu_rs_tpu.container.writer import write_etc1s_basis, write_uastc_basis
+from basisu_rs_tpu.ops import transcode_blocks
+
+ETC1_MODIFIERS = [
+    [-8, -2, 2, 8], [-17, -5, 5, 17], [-29, -9, 9, 29], [-42, -13, 13, 42],
+    [-60, -18, 18, 60], [-80, -24, 24, 80], [-106, -33, 33, 106], [-183, -47, 47, 183],
+]
+
+
+def _etc1s_expected_rgba(endpoints, selectors, ep_idx, sel_idx, nbx, nby):
+    """Independent numpy oracle for the ETC1S->RGBA back-end."""
+    n = nbx * nby
+    out = np.zeros((n, 16), np.uint32)
+    for b in range(n):
+        e = endpoints[ep_idx[b]]
+        base = [(int(v) << 3) | (int(v) >> 2) for v in e[:3]]
+        pal = []
+        for k in range(4):
+            m = ETC1_MODIFIERS[int(e[3])][k]
+            pal.append([min(255, max(0, c + m)) for c in base])
+        rows = selectors[sel_idx[b]]
+        for y in range(4):
+            for x in range(4):
+                s = (int(rows[y]) >> (2 * x)) & 3
+                r, g, bl = pal[s]
+                out[b, y * 4 + x] = r | (g << 8) | (bl << 16) | 0xFF000000
+    return out
+
+
+def _blocks_to_image_words(texels, nbx):
+    nby = texels.shape[0] // nbx
+    t = texels.reshape(nby, nbx, 4, 4).transpose(0, 2, 1, 3).reshape(-1)
+    return t
+
+
+@pytest.fixture(scope="module")
+def uastc_file(golden=None):
+    d = np.load("tests/fixtures/golden_blocks.npz")
+    blocks = d["bc7_in"][:24]  # 24 blocks -> 6x4 grid
+    return blocks, write_uastc_basis(
+        [dict(blocks=blocks, nbx=6, nby=4, orig_width=24, orig_height=16)]
+    )
+
+
+def test_uastc_file_round_trip_blocks(uastc_file):
+    blocks, buf = uastc_file
+    images = read_to_uastc(buf)
+    assert len(images) == 1
+    np.testing.assert_array_equal(images[0].data.reshape(-1, 16), blocks)
+    assert images[0].w == 24 and images[0].h == 16 and images[0].stride == 96
+
+
+@pytest.mark.parametrize("target,fn,bs", [
+    ("bc7", read_to_bc7, 16),
+    ("astc", read_to_astc, 16),
+    ("etc1", read_to_etc1, 8),
+    ("etc2", read_to_etc2, 16),
+])
+def test_uastc_file_transcode_targets(uastc_file, target, fn, bs):
+    blocks, buf = uastc_file
+    expected, err = transcode_blocks(blocks, target)
+    assert not err.any()
+    images = fn(buf)
+    np.testing.assert_array_equal(images[0].data.reshape(-1, bs), expected)
+    assert images[0].stride == bs * 6
+
+
+def test_uastc_file_rgba(uastc_file):
+    blocks, buf = uastc_file
+    texels, err = transcode_blocks(blocks, "rgba")
+    header, images = read_to_rgba(buf)
+    img = images[0]
+    got = img.data.view("<u4").reshape(-1)
+    np.testing.assert_array_equal(got, _blocks_to_image_words(texels, 6))
+
+
+def test_corrupt_data_crc_rejected(uastc_file):
+    _, buf = uastc_file
+    bad = bytearray(buf)
+    bad[-1] ^= 0xFF
+    with pytest.raises(BasisError, match="Data CRC16"):
+        read_to_bc7(bytes(bad))
+
+
+def test_corrupt_header_crc_rejected(uastc_file):
+    _, buf = uastc_file
+    bad = bytearray(buf)
+    bad[20] ^= 1  # tex_format byte inside the header CRC span
+    with pytest.raises(BasisError, match="Header CRC16"):
+        read_to_bc7(bytes(bad))
+
+
+def test_bad_sig_rejected(uastc_file):
+    _, buf = uastc_file
+    bad = b"XX" + buf[2:]
+    with pytest.raises(BasisError, match="Sig mismatch"):
+        read_to_bc7(bad)
+
+
+@pytest.fixture(scope="module")
+def etc1s_setup():
+    rng = np.random.default_rng(42)
+    E, S = 47, 31
+    endpoints = np.zeros((E, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (E, 3))
+    endpoints[:, 3] = rng.integers(0, 8, E)
+    selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
+    nbx, nby = 7, 5
+    n = nbx * nby
+    ep_idx = rng.integers(0, E, n).astype(np.uint16)
+    sel_idx = rng.integers(0, S, n).astype(np.uint16)
+    return endpoints, selectors, ep_idx, sel_idx, nbx, nby
+
+
+def test_etc1s_file_rgba(etc1s_setup):
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=nbx * 4, orig_height=nby * 4)],
+    )
+    header, images = read_to_rgba(buf)
+    assert header.total_endpoints == len(endpoints)
+    expected = _etc1s_expected_rgba(endpoints, selectors, ep_idx, sel_idx, nbx, nby)
+    got = images[0].data.view("<u4").reshape(-1)
+    np.testing.assert_array_equal(got, _blocks_to_image_words(expected, nbx))
+
+
+def test_etc1s_file_etc1(etc1s_setup):
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=nbx * 4, orig_height=nby * 4)],
+    )
+    images = read_to_etc1(buf)
+    out = images[0].data.reshape(-1, 8)
+    # independent check of the ETC1S->ETC1 pack (mod.rs:163-181)
+    for b in range(nbx * nby):
+        e = endpoints[ep_idx[b]]
+        assert out[b, 0] == (e[0] << 3) & 0xFF
+        assert out[b, 1] == (e[1] << 3) & 0xFF
+        assert out[b, 2] == (e[2] << 3) & 0xFF
+        assert out[b, 3] == ((e[3] << 5) | (e[3] << 2) | 0b11) & 0xFF
+
+
+def test_etc1s_file_with_alpha(etc1s_setup):
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    rng = np.random.default_rng(7)
+    a_ep = rng.integers(0, len(endpoints), nbx * nby).astype(np.uint16)
+    a_sel = rng.integers(0, len(selectors), nbx * nby).astype(np.uint16)
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [
+            dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+                 orig_width=nbx * 4, orig_height=nby * 4),
+            dict(ep_idx=a_ep, sel_idx=a_sel, nbx=nbx, nby=nby,
+                 orig_width=nbx * 4, orig_height=nby * 4, alpha=True),
+        ],
+        has_alpha=True,
+    )
+    header, images = read_to_rgba(buf)
+    assert len(images) == 1
+    rgb = _etc1s_expected_rgba(endpoints, selectors, ep_idx, sel_idx, nbx, nby)
+    alpha = _etc1s_expected_rgba(endpoints, selectors, a_ep, a_sel, nbx, nby)
+    expected = (rgb & 0x00FFFFFF) | (((alpha >> 8) & 0xFF) << 24)  # G -> A
+    got = images[0].data.view("<u4").reshape(-1)
+    np.testing.assert_array_equal(got, _blocks_to_image_words(expected, nbx))
