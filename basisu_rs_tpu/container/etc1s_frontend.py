@@ -137,7 +137,32 @@ class Etc1sDecoder:
         selectors_data: bytes,
         tables_data: bytes,
         is_video: bool = False,
+        use_native: bool = True,
     ):
+        self.is_video = is_video
+        self._native = None
+        NativeError = None
+        if use_native:
+            try:
+                from ..native import (
+                    NativeError,
+                    NativeEtc1sModels,
+                    decode_endpoints_native,
+                    decode_selectors_native,
+                )
+            except ImportError:
+                NativeError = None  # toolchain-less environment
+        if NativeError is not None:
+            try:
+                self.endpoints = decode_endpoints_native(num_endpoints, endpoints_data)
+                self.selectors = decode_selectors_native(num_selectors, selectors_data)
+                self._native = NativeEtc1sModels(
+                    tables_data, num_endpoints, num_selectors, is_video
+                )
+                self.selector_history_buffer_size = self._native.history_size
+                return
+            except NativeError as e:
+                raise Etc1sError(str(e)) from None
         self.endpoints = decode_endpoints(num_endpoints, endpoints_data)
         self.selectors = decode_selectors(num_selectors, selectors_data)
         reader = BitReaderLsb(tables_data)
@@ -146,16 +171,17 @@ class Etc1sDecoder:
         self.selector_model = read_huffman_table(reader)
         self.selector_history_buf_rle_model = read_huffman_table(reader)
         self.selector_history_buffer_size = reader.read(13)
-        self.is_video = is_video
 
     def decode_slice(self, num_blocks_x: int, num_blocks_y: int, data: bytes) -> Etc1sSlice:
         """Run the sequential prediction state machine (mod.rs:188-458)."""
-        try:
-            from ..native import etc1s_decode_slice_native
+        if self._native is not None:
+            from ..native import NativeError
 
-            return etc1s_decode_slice_native(self, num_blocks_x, num_blocks_y, data)
-        except ImportError:
-            pass
+            try:
+                ep, sel = self._native.decode_slice(num_blocks_x, num_blocks_y, data)
+            except NativeError as e:
+                raise Etc1sError(str(e)) from None
+            return Etc1sSlice(num_blocks_x, num_blocks_y, ep, sel)
         return self._decode_slice_py(num_blocks_x, num_blocks_y, data)
 
     def _decode_slice_py(self, num_blocks_x: int, num_blocks_y: int, data: bytes) -> Etc1sSlice:

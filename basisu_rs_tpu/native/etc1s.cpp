@@ -1,0 +1,402 @@
+// Native host runtime for basisu_rs_tpu: CRC-16 + the BasisLZ/ETC1S
+// sequential entropy front-end (canonical Huffman + prediction state
+// machine).  This is the host-side hot path of ETC1S decoding (the device
+// kernels consume the index tensors this code emits); the pure-Python
+// implementation in container/etc1s_frontend.py is the behavioral reference
+// and fallback.
+//
+// C ABI only; consumed via ctypes (native/__init__.py).  Error codes are
+// negative; 0 = success.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int kMaxCodeSize = 16;
+
+// ---------------------------------------------------------------------------
+// bit reader: LSB-first, reads past the end yield zero bits
+// ---------------------------------------------------------------------------
+struct BitReader {
+  const uint8_t* data;
+  size_t len;
+  size_t bit_pos = 0;
+
+  uint32_t peek(int count) const {
+    size_t byte = bit_pos >> 3;
+    int bit = bit_pos & 7;
+    uint64_t acc = 0;
+    for (int k = 0; k < 5; ++k) {
+      uint64_t v = (byte + k < len) ? data[byte + k] : 0;
+      acc |= v << (8 * k);
+    }
+    acc >>= bit;
+    return (count >= 32) ? (uint32_t)acc : (uint32_t)(acc & ((1u << count) - 1));
+  }
+  uint32_t read(int count) {
+    uint32_t v = peek(count);
+    bit_pos += count;
+    return v;
+  }
+  void remove(int count) { bit_pos += count; }
+};
+
+// ---------------------------------------------------------------------------
+// canonical Huffman decoding table (flat lookup, bit-reversed codes)
+// ---------------------------------------------------------------------------
+struct HuffTable {
+  std::vector<uint16_t> symbols;
+  std::vector<uint8_t> sizes;
+  int max_code_size = 0;
+
+  // returns 0 on success
+  int build(const uint8_t* code_sizes, int n) {
+    uint32_t counts[kMaxCodeSize + 1] = {0};
+    max_code_size = 0;
+    for (int i = 0; i < n; ++i) {
+      counts[code_sizes[i]]++;
+      if (code_sizes[i] > max_code_size) max_code_size = code_sizes[i];
+    }
+    counts[0] = 0;
+    uint32_t next_code[kMaxCodeSize + 1] = {0};
+    uint32_t total = 0;
+    for (int bits = 1; bits <= kMaxCodeSize; ++bits) {
+      total = (total + counts[bits - 1]) << 1;
+      next_code[bits] = total;
+    }
+    symbols.assign(size_t(1) << max_code_size, 0);
+    sizes.assign(size_t(1) << max_code_size, 0);
+    for (int sym = 0; sym < n; ++sym) {
+      int size = code_sizes[sym];
+      if (!size) continue;
+      uint32_t code = next_code[size]++;
+      // bit-reverse to `size` bits
+      uint32_t rev = 0;
+      for (int b = 0; b < size; ++b) rev |= ((code >> b) & 1u) << (size - 1 - b);
+      for (size_t fill = rev; fill < symbols.size(); fill += size_t(1) << size) {
+        symbols[fill] = (uint16_t)sym;
+        sizes[fill] = (uint8_t)size;
+      }
+    }
+    for (int bits = 1; bits <= kMaxCodeSize; ++bits)
+      if (next_code[bits] > 0x10000u) return -2;
+    return 0;
+  }
+
+  int decode(BitReader& r) const {
+    uint32_t bits = r.peek(max_code_size);
+    int size = sizes[bits];
+    if (!size) return -1;
+    r.remove(size);
+    return symbols[bits];
+  }
+};
+
+// scrambled order of code-length-code sizes in the stream
+constexpr int kClcIndices[21] = {17, 18, 19, 20, 0,  8, 7, 9,  6,  10, 5,
+                                 11, 4,  12, 3,  13, 2, 14, 1, 15, 16};
+
+int read_huffman_table(BitReader& r, HuffTable* out) {
+  int total_used_syms = (int)r.read(14);
+  int num_clc = (int)r.read(5);
+  uint8_t clc_sizes[21] = {0};
+  for (int i = 0; i < num_clc; ++i) clc_sizes[kClcIndices[i]] = (uint8_t)r.read(3);
+  HuffTable clc;
+  if (int rc = clc.build(clc_sizes, 21)) return rc;
+
+  std::vector<uint8_t> sizes;
+  sizes.reserve(total_used_syms);
+  while ((int)sizes.size() < total_used_syms) {
+    int sym = clc.decode(r);
+    if (sym < 0) return -3;
+    if (sym <= 16) {
+      sizes.push_back((uint8_t)sym);
+    } else if (sym == 17) {
+      int count = 3 + (int)r.read(3);
+      sizes.insert(sizes.end(), count, 0);
+    } else if (sym == 18) {
+      int count = 11 + (int)r.read(7);
+      sizes.insert(sizes.end(), count, 0);
+    } else {  // 19 / 20: repeats
+      if (sizes.empty() || sizes.back() == 0) return -4;
+      int count = (sym == 19) ? 3 + (int)r.read(2) : 7 + (int)r.read(7);
+      sizes.insert(sizes.end(), count, sizes.back());
+    }
+  }
+  return out->build(sizes.data(), (int)sizes.size());
+}
+
+uint32_t decode_vlc(BitReader& r, int chunk_bits, int* err) {
+  uint32_t chunk_size = 1u << chunk_bits;
+  uint32_t chunk_mask = chunk_size - 1;
+  uint32_t v = 0;
+  int ofs = 0;
+  for (;;) {
+    uint32_t s = r.read(chunk_bits + 1);
+    v |= (s & chunk_mask) << ofs;
+    ofs += chunk_bits;
+    if (!(s & chunk_size)) return v;
+    if (ofs >= 32) {
+      *err = -5;
+      return 0;
+    }
+  }
+}
+
+struct Decoder {
+  HuffTable endpoint_pred, delta_endpoint, selector, selector_rle;
+  uint32_t history_size = 0;
+  int num_endpoints = 0, num_selectors = 0, is_video = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+uint16_t basisu_crc16(const uint8_t* data, size_t len, uint16_t crc) {
+  // CRC-16/GENIBUS byte recurrence (table-free)
+  crc = (uint16_t)~crc;
+  for (size_t i = 0; i < len; ++i) {
+    uint16_t q = (uint16_t)(data[i] ^ (crc >> 8));
+    uint16_t k = (uint16_t)((q >> 4) ^ q);
+    crc = (uint16_t)((((crc << 8) ^ k) ^ (k << 5)) ^ (k << 12));
+  }
+  return (uint16_t)~crc;
+}
+
+// endpoint codebook: out = uint8 [num_endpoints, 4] (r5, g5, b5, inten3)
+int etc1s_decode_endpoints(const uint8_t* data, size_t len, int num_endpoints,
+                           uint8_t* out) {
+  BitReader r{data, len};
+  HuffTable models[3], inten;
+  for (auto& m : models)
+    if (int rc = read_huffman_table(r, &m)) return rc;
+  if (int rc = read_huffman_table(r, &inten)) return rc;
+  int grayscale = (int)r.read(1);
+
+  int prev_color5[3] = {16, 16, 16};
+  uint32_t prev_inten = 0;
+  for (int e = 0; e < num_endpoints; ++e) {
+    int ds = inten.decode(r);
+    if (ds < 0) return -3;
+    uint32_t iv = ((uint32_t)ds + prev_inten) & 7;
+    prev_inten = iv;
+    out[e * 4 + 3] = (uint8_t)iv;
+    int channels = grayscale ? 1 : 3;
+    for (int c = 0; c < channels; ++c) {
+      int p = prev_color5[c];
+      HuffTable& m = models[p <= 9 ? 0 : (p <= 21 ? 1 : 2)];
+      int delta = m.decode(r);
+      if (delta < 0) return -3;
+      int v = (p + delta) & 31;
+      out[e * 4 + c] = (uint8_t)v;
+      prev_color5[c] = v;
+    }
+    if (grayscale) {
+      out[e * 4 + 1] = out[e * 4 + 0];
+      out[e * 4 + 2] = out[e * 4 + 0];
+    }
+  }
+  return 0;
+}
+
+// selector codebook: out = uint8 [num_selectors, 4] row bytes
+int etc1s_decode_selectors(const uint8_t* data, size_t len, int num_selectors,
+                           uint8_t* out) {
+  BitReader r{data, len};
+  int global = (int)r.read(1);
+  int hybrid = (int)r.read(1);
+  int raw = (int)r.read(1);
+  if (global || hybrid) return -6;  // unsupported codebook flavors
+
+  if (!raw) {
+    HuffTable model;
+    if (int rc = read_huffman_table(r, &model)) return rc;
+    uint8_t prev[4] = {0, 0, 0, 0};
+    for (int s = 0; s < num_selectors; ++s) {
+      for (int y = 0; y < 4; ++y) {
+        uint8_t cur;
+        if (s == 0) {
+          cur = (uint8_t)r.read(8);
+        } else {
+          int d = model.decode(r);
+          if (d < 0) return -3;
+          cur = (uint8_t)(d ^ prev[y]);
+        }
+        prev[y] = cur;
+        out[s * 4 + y] = cur;
+      }
+    }
+  } else {
+    for (int s = 0; s < num_selectors; ++s)
+      for (int y = 0; y < 4; ++y) out[s * 4 + y] = (uint8_t)r.read(8);
+  }
+  return 0;
+}
+
+void* etc1s_create(const uint8_t* tables, size_t len, int num_endpoints,
+                   int num_selectors, int is_video) {
+  auto* d = new Decoder();
+  BitReader r{tables, len};
+  if (read_huffman_table(r, &d->endpoint_pred) ||
+      read_huffman_table(r, &d->delta_endpoint) ||
+      read_huffman_table(r, &d->selector) ||
+      read_huffman_table(r, &d->selector_rle)) {
+    delete d;
+    return nullptr;
+  }
+  d->history_size = r.read(13);
+  d->num_endpoints = num_endpoints;
+  d->num_selectors = num_selectors;
+  d->is_video = is_video;
+  return d;
+}
+
+void etc1s_destroy(void* h) { delete static_cast<Decoder*>(h); }
+
+uint32_t etc1s_history_size(void* h) {
+  return static_cast<Decoder*>(h)->history_size;
+}
+
+// The sequential prediction state machine over one slice.
+// ep_out/sel_out: uint16 [nbx*nby].
+int etc1s_decode_slice(void* h, const uint8_t* data, size_t len, int nbx,
+                       int nby, uint16_t* ep_out, uint16_t* sel_out) {
+  Decoder& d = *static_cast<Decoder*>(h);
+  BitReader r{data, len};
+  const int num_endpoints = d.num_endpoints;
+  const int num_selectors = d.num_selectors;
+  const uint32_t hist_size = d.history_size;
+  const uint32_t history_rle_sym = hist_size + (uint32_t)num_selectors;
+
+  std::vector<uint16_t> pred_ep(2 * nbx, 0);
+  std::vector<uint8_t> pred_bits_row(2 * nbx, 0);
+  std::vector<uint32_t> prev_frame;  // (endpoint, selector) pairs, packed
+  if (d.is_video) prev_frame.assign((size_t)nbx * nby, 0);
+
+  std::vector<uint16_t> hist(hist_size, 0);
+  size_t rover = hist_size / 2;
+
+  uint32_t cur_selector_rle_count = 0;
+  uint32_t cur_pred_bits = 0;
+  uint32_t prev_pred_sym = 0;
+  uint32_t pred_repeat_count = 0;
+  uint16_t prev_endpoint_index = 0;
+  int err = 0;
+
+  size_t bi = 0;
+  for (int by = 0; by < nby; ++by) {
+    int cur_row = by & 1;
+    for (int bx = 0; bx < nbx; ++bx, ++bi) {
+      if ((bx & 1) == 0) {
+        if ((by & 1) == 0) {
+          if (pred_repeat_count != 0) {
+            pred_repeat_count--;
+            cur_pred_bits = prev_pred_sym;
+          } else {
+            int sym = d.endpoint_pred.decode(r);
+            if (sym < 0) return -3;
+            if (sym == 256) {  // ENDPOINT_PRED_REPEAT_LAST_SYMBOL
+              pred_repeat_count = decode_vlc(r, 4, &err) + 3 - 1;
+              if (err) return err;
+              cur_pred_bits = prev_pred_sym;
+            } else {
+              cur_pred_bits = (uint32_t)sym;
+              prev_pred_sym = cur_pred_bits;
+            }
+          }
+          pred_bits_row[(cur_row ^ 1) * nbx + bx] = (uint8_t)(cur_pred_bits >> 4);
+        } else {
+          cur_pred_bits = pred_bits_row[cur_row * nbx + bx];
+        }
+      }
+
+      uint32_t pred = cur_pred_bits & 3;
+      cur_pred_bits >>= 2;
+
+      uint16_t endpoint_index;
+      if (pred == 0) {
+        if (bx == 0) return -7;
+        endpoint_index = prev_endpoint_index;
+      } else if (pred == 1) {
+        if (by == 0) return -7;
+        endpoint_index = pred_ep[(cur_row ^ 1) * nbx + bx];
+      } else if (pred == 2) {
+        if (d.is_video) {
+          endpoint_index = (uint16_t)(prev_frame[bi] & 0xFFFF);
+        } else {
+          if (bx == 0 || by == 0) return -7;
+          endpoint_index = pred_ep[(cur_row ^ 1) * nbx + bx - 1];
+        }
+      } else {
+        int delta = d.delta_endpoint.decode(r);
+        if (delta < 0) return -3;
+        uint32_t ei = (uint32_t)delta + prev_endpoint_index;
+        if (ei >= (uint32_t)num_endpoints) ei -= num_endpoints;
+        endpoint_index = (uint16_t)ei;
+      }
+
+      pred_ep[cur_row * nbx + bx] = endpoint_index;
+      prev_endpoint_index = endpoint_index;
+
+      uint16_t selector_index;
+      if (!d.is_video || pred != 2) {
+        uint32_t selector_sym;
+        if (cur_selector_rle_count > 0) {
+          cur_selector_rle_count--;
+          selector_sym = (uint32_t)num_selectors;
+        } else {
+          int sym = d.selector.decode(r);
+          if (sym < 0) return -3;
+          if ((uint32_t)sym == history_rle_sym) {
+            int run_sym = d.selector_rle.decode(r);
+            if (run_sym < 0) return -3;
+            if (run_sym == 63) {
+              cur_selector_rle_count = 3 + decode_vlc(r, 7, &err);
+              if (err) return err;
+            } else {
+              cur_selector_rle_count = 3 + (uint32_t)run_sym;
+            }
+            cur_selector_rle_count--;
+            selector_sym = (uint32_t)num_selectors;
+          } else {
+            selector_sym = (uint32_t)sym;
+          }
+        }
+
+        if (selector_sym >= (uint32_t)num_selectors) {
+          if (hist_size == 0) return -8;
+          uint32_t idx = selector_sym - (uint32_t)num_selectors;
+          if (idx >= hist_size) return -8;
+          selector_index = hist[idx];
+          if (idx != 0) {  // approximate move-to-front
+            uint16_t x = hist[idx / 2];
+            hist[idx / 2] = hist[idx];
+            hist[idx] = x;
+          }
+        } else {
+          if (hist_size > 0) {
+            hist[rover] = (uint16_t)selector_sym;
+            if (++rover == hist_size) rover = hist_size / 2;
+          }
+          selector_index = (uint16_t)selector_sym;
+        }
+      } else {
+        selector_index = (uint16_t)(prev_frame[bi] >> 16);
+      }
+
+      if (d.is_video)
+        prev_frame[bi] = (uint32_t)endpoint_index | ((uint32_t)selector_index << 16);
+
+      if (endpoint_index >= num_endpoints || selector_index >= num_selectors)
+        return -9;
+      ep_out[bi] = endpoint_index;
+      sel_out[bi] = selector_index;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -7,7 +7,8 @@ section 4 (multi-node analog).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the environment presets JAX_PLATFORMS=axon (the TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -22,6 +23,13 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+
+# The axon sitecustomize force-registers the TPU backend regardless of
+# JAX_PLATFORMS; override the config before any backend initializes so tests
+# stay hermetic on the virtual 8-device CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 FIXTURES = Path(__file__).parent / "fixtures"
 
