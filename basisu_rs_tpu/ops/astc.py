@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..tables import BISE_RANGES, LA, RGB, RGBA, ModeCfg, get_family, np_tables
-from .bits import LaneWriter, U32, bitrev, mask
+from .bits import lane_shape, lut_lookup, LaneWriter, U32, bitrev, mask
 from .uastc_decode import (
     decode_compsel,
     decode_endpoints,
@@ -49,7 +49,7 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
         return _mode8_to_astc(lanes)
 
     t = np_tables()
-    shape = lanes.shape[:-1]
+    shape = lane_shape(lanes)
     rng = BISE_RANGES[cfg.endpoint_range_index]
     e_count = cfg.endpoint_count
     wb = cfg.weight_bits
@@ -93,7 +93,7 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
     ofs = 13
     fam = get_family(cfg)
     if fam is not None and cfg.id != 1:
-        idx10 = jnp.take(jnp.asarray(fam.astc_index10), pat, axis=0).astype(U32)
+        idx10 = lut_lookup(fam.astc_index10, pat).astype(U32)
         writer.put(idx10, ofs, 10)
         ofs += 10 + 2  # +2 zero bits: all endpoints share one CEM
     cem = {RGB: 8, RGBA: 12, LA: 4}[cfg.format]
@@ -103,13 +103,13 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
     # ---- endpoints in ASTC integer sequence encoding (astc.rs:98-141) ----
     bit_count = rng.bits
     if rng.quints:
-        enc = jnp.asarray(t["ASTC_QUINT_ENCODE"]).astype(I32)
+        enc = t["ASTC_QUINT_ENCODE"]
         for chunk in range(0, e_count, 3):
             members = min(3, e_count - chunk)
             lut_id = jnp.zeros(shape, I32)
             for k in reversed(range(members)):
                 lut_id = lut_id * 5 + tq[chunk + k]
-            q = jnp.take(enc, lut_id, axis=0)
+            q = lut_lookup(enc, lut_id)
             for k, qbits_slice in ((0, (0, 3)), (1, (3, 2)), (2, (5, 2))):
                 v = qbits[chunk + k] if k < members else jnp.zeros(shape, I32)
                 writer.put(v, ofs, bit_count)
@@ -117,13 +117,13 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
                 writer.put(q >> qbits_slice[0], ofs, qbits_slice[1])
                 ofs += qbits_slice[1]
     elif rng.trits:
-        enc = jnp.asarray(t["ASTC_TRIT_ENCODE"]).astype(I32)
+        enc = t["ASTC_TRIT_ENCODE"]
         for chunk in range(0, e_count, 5):
             members = min(5, e_count - chunk)
             lut_id = jnp.zeros(shape, I32)
             for k in reversed(range(members)):
                 lut_id = lut_id * 3 + tq[chunk + k]
-            tt = jnp.take(enc, lut_id, axis=0)
+            tt = lut_lookup(enc, lut_id)
             for k, t_slice in ((0, (0, 2)), (1, (2, 2)), (2, (4, 1)), (3, (5, 2)), (4, (7, 1))):
                 v = qbits[chunk + k] if k < members else jnp.zeros(shape, I32)
                 writer.put(v, ofs, bit_count)

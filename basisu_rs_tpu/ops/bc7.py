@@ -22,7 +22,7 @@ from ..tables import (
     np_tables,
     pbit_luts,
 )
-from .bits import LaneWriter, U32, mask
+from .bits import lane_shape, lut_lookup, LaneWriter, U32, mask
 from .uastc_decode import (
     assemble_endpoint_pairs,
     decode_fields,
@@ -41,7 +41,7 @@ def _dyn_select(arrays, idx):
 
 
 def _take(table_np, idx):
-    return jnp.take(jnp.asarray(table_np), idx, axis=0).astype(I32)
+    return lut_lookup(table_np, idx)
 
 
 def remap_weight_to_bc7(w, uastc_bits: int, bc7_bits: int):
@@ -79,16 +79,21 @@ def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     xq, err_u, _ = pbit_luts(comp_bits + 1)
     errs = {}
     for p in (0, 1):
-        tbl = jnp.asarray(err_u[p])
         errs[p] = (
-            _fold_add_f32([jnp.take(tbl, e_lo[c], axis=0) for c in range(total_comps)]),
-            _fold_add_f32([jnp.take(tbl, e_hi[c], axis=0) for c in range(total_comps)]),
+            _fold_add_f32([lut_lookup(err_u[p], e_lo[c]) for c in range(total_comps)]),
+            _fold_add_f32([lut_lookup(err_u[p], e_hi[c]) for c in range(total_comps)]),
         )
     pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
     pb_hi = (errs[1][1] < errs[0][1]).astype(I32)
-    q0, q1 = jnp.asarray(xq[0]), jnp.asarray(xq[1])
-    new_lo = [jnp.where(pb_lo == 1, jnp.take(q1, e_lo[c]), jnp.take(q0, e_lo[c])).astype(I32) for c in range(4)]
-    new_hi = [jnp.where(pb_hi == 1, jnp.take(q1, e_hi[c]), jnp.take(q0, e_hi[c])).astype(I32) for c in range(4)]
+    q0, q1 = xq[0], xq[1]
+    new_lo = [
+        jnp.where(pb_lo == 1, lut_lookup(q1, e_lo[c]), lut_lookup(q0, e_lo[c])).astype(I32)
+        for c in range(4)
+    ]
+    new_hi = [
+        jnp.where(pb_hi == 1, lut_lookup(q1, e_hi[c]), lut_lookup(q0, e_hi[c])).astype(I32)
+        for c in range(4)
+    ]
     return new_lo, new_hi, pb_lo, pb_hi
 
 
@@ -96,16 +101,21 @@ def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     xq, _, err_s = pbit_luts(comp_bits + 1)
     errs = {}
     for p in (0, 1):
-        tbl = jnp.asarray(err_s[p])
         terms = [
-            jnp.take(tbl, e_lo[c], axis=0) + jnp.take(tbl, e_hi[c], axis=0)
+            lut_lookup(err_s[p], e_lo[c]) + lut_lookup(err_s[p], e_hi[c])
             for c in range(total_comps)
         ]
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
-    q0, q1 = jnp.asarray(xq[0]), jnp.asarray(xq[1])
-    new_lo = [jnp.where(sb == 1, jnp.take(q1, e_lo[c]), jnp.take(q0, e_lo[c])).astype(I32) for c in range(4)]
-    new_hi = [jnp.where(sb == 1, jnp.take(q1, e_hi[c]), jnp.take(q0, e_hi[c])).astype(I32) for c in range(4)]
+    q0, q1 = xq[0], xq[1]
+    new_lo = [
+        jnp.where(sb == 1, lut_lookup(q1, e_lo[c]), lut_lookup(q0, e_lo[c])).astype(I32)
+        for c in range(4)
+    ]
+    new_hi = [
+        jnp.where(sb == 1, lut_lookup(q1, e_hi[c]), lut_lookup(q0, e_hi[c])).astype(I32)
+        for c in range(4)
+    ]
     return new_lo, new_hi, sb, sb
 
 
@@ -146,7 +156,6 @@ def _mode8_to_bc7(lanes):
         w5.put(jnp.full(shape, 1, U32), ofs, 2)
         ofs += 2
     # alpha weights: all 0 (nothing to write)
-    out5 = w5.stack()
 
     # --- mode 6 layout: 7 mode bits, 4x7x2 endpoints, 2 p-bits, 1x(3+15x4)
     idx6 = best_p  # table index c + (1 - p)  (bc7.rs:1126-1131)
@@ -165,9 +174,11 @@ def _mode8_to_bc7(lanes):
     for _ in range(15):
         w6.put(jnp.full(shape, 5, U32), ofs, 4)
         ofs += 4
-    out6 = w6.stack()
 
-    out = jnp.where(use5[:, None], out5, out6)
+    # select per word (keeps tensors 2-D for the Pallas/Mosaic path)
+    out = jnp.stack(
+        [jnp.where(use5, a, b) for a, b in zip(w5.lanes, w6.lanes)], axis=-1
+    )
     return out, jnp.zeros(shape, bool)
 
 
@@ -187,7 +198,7 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
     cc = bm.channel_count
     wb7 = bm.weight_bits
     wmask7 = mask(wb7)
-    shape = lanes.shape[:-1]
+    shape = lane_shape(lanes)
 
     f = decode_fields(cfg, lanes)
     pairs = assemble_endpoint_pairs(cfg, f.endpoints)  # [uastc subset][2][4]

@@ -24,6 +24,26 @@ def mask(count: int) -> int:
     return (1 << count) - 1
 
 
+def lane_shape(lanes):
+    """Batch shape of a lane bundle: `uint32[..., W]` array or tuple of W
+    same-shaped arrays (the Pallas kernels pass per-word refs)."""
+    if isinstance(lanes, (list, tuple)):
+        return lanes[0].shape
+    return lanes.shape[:-1]
+
+
+def lane_count(lanes) -> int:
+    if isinstance(lanes, (list, tuple)):
+        return len(lanes)
+    return lanes.shape[-1]
+
+
+def lane(lanes, w: int):
+    if isinstance(lanes, (list, tuple)):
+        return lanes[w]
+    return lanes[..., w]
+
+
 def lanes_from_bytes_np(blocks_u8, word_count: int):
     """numpy uint8 [N, word_count*4] -> uint32 [N, word_count] (host helper)."""
     import numpy as np
@@ -44,16 +64,17 @@ def bytes_from_lanes_np(lanes):
 
 
 def extract(lanes, offset: int, count: int):
-    """Static-offset extract of `count` bits at `offset`. lanes: uint32[..., W]."""
+    """Static-offset extract of `count` bits at `offset`. lanes: uint32[..., W]
+    array or tuple of W same-shaped uint32 arrays."""
     assert 0 <= count <= 32
     if count == 0:
-        return jnp.zeros(lanes.shape[:-1], U32)
-    W = lanes.shape[-1]
+        return jnp.zeros(lane_shape(lanes), U32)
+    W = lane_count(lanes)
     w, b = offset // 32, offset % 32
-    lo = lanes[..., w] if w < W else jnp.zeros(lanes.shape[:-1], U32)
+    lo = lane(lanes, w) if w < W else jnp.zeros(lane_shape(lanes), U32)
     val = lo >> U32(b)
     if b + count > 32 and w + 1 < W:
-        val = val | (lanes[..., w + 1] << U32(32 - b))
+        val = val | (lane(lanes, w + 1) << U32(32 - b))
     if count < 32:
         val = val & U32(mask(count))
     return val
@@ -61,20 +82,20 @@ def extract(lanes, offset: int, count: int):
 
 def extract_dyn(lanes, offset, count: int):
     """Dynamic-offset extract: `offset` is a traced int32/uint32 array
-    broadcastable to lanes.shape[:-1]. `count` static, <= 32."""
+    broadcastable to the lane batch shape. `count` static, <= 32."""
     assert 0 < count <= 32
-    W = lanes.shape[-1]
+    W = lane_count(lanes)
     offset = offset.astype(U32)
     w = offset >> U32(5)
     b = offset & U32(31)
-    zero = jnp.zeros(jnp.broadcast_shapes(lanes.shape[:-1], w.shape), U32)
+    zero = jnp.zeros(jnp.broadcast_shapes(lane_shape(lanes), w.shape), U32)
     lo = zero
     hi = zero
     for k in range(W):
-        lane = lanes[..., k]
-        lo = jnp.where(w == k, lane, lo)
+        lk = lane(lanes, k)
+        lo = jnp.where(w == k, lk, lo)
         if k >= 1:
-            hi = jnp.where(w == k - 1, lane, hi)
+            hi = jnp.where(w == k - 1, lk, hi)
     val = (lo >> b) | jnp.where(b == 0, U32(0), hi << ((U32(32) - b) & U32(31)))
     if count < 32:
         val = val & U32(mask(count))
@@ -132,11 +153,89 @@ def bitrev(value, count: int):
     return out
 
 
-def select_lut(index, table_np):
-    """Lookup `table_np` (small 1-D numpy constant) at traced `index`.
+# ---------------------------------------------------------------------------
+# Constant-table lookups, shared by the XLA and Pallas paths.
+#
+# XLA path: a plain jnp.take of the constant (XLA folds it into the module).
+# Pallas path: Mosaic rejects captured array constants and only lowers
+# exactly-128-lane `take_along_axis` gathers, so tables are (1) collected
+# during an abstract pre-trace, (2) passed to the kernel as real VMEM inputs
+# padded to 128-lane chunks, and (3) gathered chunk-by-chunk with a select
+# across chunks.  `lut_lookup` switches behavior based on the active mode.
+# ---------------------------------------------------------------------------
 
-    jnp.take lowers to an XLA gather; for tiny tables XLA/Mosaic handle this
-    well, and it keeps a single implementation shared by the XLA and Pallas
-    paths (Mosaic supports dynamic gathers from VMEM-resident constants).
-    """
-    return jnp.take(jnp.asarray(table_np), index, axis=0)
+_TABLE_MODE = None  # None | ("collect", dict) | ("provide", dict)
+
+
+def _canonical_table(table_np):
+    import numpy as np
+
+    a = np.ascontiguousarray(table_np)
+    if a.dtype != np.float32:
+        a = a.astype(np.int64).astype(np.int32)  # preserves low 32 bits
+    return a
+
+
+def table_key(table_np):
+    a = _canonical_table(table_np)
+    return (a.tobytes(), str(a.dtype), a.shape)
+
+
+class table_mode:
+    """Context manager activating collect/provide mode (trace-time only)."""
+
+    def __init__(self, mode, store):
+        self.state = (mode, store)
+
+    def __enter__(self):
+        global _TABLE_MODE
+        self.prev = _TABLE_MODE
+        _TABLE_MODE = self.state
+
+    def __exit__(self, *exc):
+        global _TABLE_MODE
+        _TABLE_MODE = self.prev
+
+
+def pad_table_for_kernel(table_np):
+    """[L] table -> [ceil(L/128), 128] array suitable as a VMEM input.
+
+    Chunks live on rows: Mosaic lowers row slices of a VMEM array fine but
+    rejects column slices at lane offsets."""
+    import numpy as np
+
+    a = _canonical_table(table_np)
+    assert a.ndim == 1
+    pad = (-len(a)) % 128
+    if pad:
+        a = np.concatenate([a, np.zeros(pad, a.dtype)])
+    return a.reshape(-1, 128)
+
+
+def lut_lookup(table_np, idx):
+    """table_np: small constant 1-D numpy array; idx: traced integer array.
+    Returns int32 (integer tables) or float32 values."""
+    import numpy as np
+
+    mode = _TABLE_MODE
+    idx = idx.astype(jnp.int32)
+    if mode is None or mode[0] == "collect":
+        if mode is not None:
+            mode[1].setdefault(table_key(table_np), table_np)
+        return jnp.take(jnp.asarray(_canonical_table(table_np)), idx, axis=0)
+
+    loaded = mode[1][table_key(table_np)]  # [chunks, 128] kernel input
+    chunks = loaded.shape[0]
+    within = idx & 127
+    out = jnp.take_along_axis(jnp.broadcast_to(loaded[0:1], idx.shape), within, axis=1)
+    for c in range(1, chunks):
+        val = jnp.take_along_axis(
+            jnp.broadcast_to(loaded[c : c + 1], idx.shape), within, axis=1
+        )
+        out = jnp.where((idx >> 7) == c, val, out)
+    return out
+
+
+def select_lut(index, table_np):
+    """Deprecated alias for lut_lookup (index-last argument order)."""
+    return lut_lookup(table_np, index)

@@ -68,9 +68,21 @@ def block_modes(blocks_u8: np.ndarray) -> np.ndarray:
     return lut[np.asarray(blocks_u8, np.uint8)[:, 0] & 0x7F]
 
 
+def _default_backend() -> str:
+    """Pallas on TPU (vectorized in-VMEM table gathers; XLA's TPU gather
+    lowering is scalar and ~100x slower for the LUT-heavy modes); XLA
+    elsewhere (tests / CPU meshes)."""
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+
+
 @lru_cache(maxsize=None)
-def _mode_kernel(target: str, mode_id: int):
+def _mode_kernel(target: str, mode_id: int, backend: str | None = None):
     _ensure_registered()
+    backend = backend or _default_backend()
+    if backend == "pallas":
+        from .pallas_kernels import pallas_mode_kernel
+
+        return pallas_mode_kernel(target, mode_id)
     fn, _ = _REGISTRY[target]
     cfg = MODES[mode_id]
     return jax.jit(partial(fn, cfg))
@@ -84,12 +96,15 @@ def _bucket(n: int) -> int:
     return size
 
 
-def transcode_blocks(blocks_u8, target: str):
+def transcode_blocks(blocks_u8, target: str, backend: str | None = None):
     """numpy uint8 [N,16] UASTC blocks -> (out, err) numpy arrays.
 
     out: uint32 [N,16] for target 'rgba', else uint8 [N, 4*W] block bytes.
     err: bool [N], True where the reference would return Err (invalid mode
     or pattern index).
+
+    All mode groups are dispatched asynchronously before any result is
+    pulled back, so device work overlaps across groups.
     """
     _ensure_registered()
     _, out_words = _REGISTRY[target]
@@ -101,6 +116,7 @@ def transcode_blocks(blocks_u8, target: str):
     out = np.zeros((n, out_words), np.uint32)
     err = modes == INVALID_MODE
 
+    pending = []
     for mode_id in np.unique(modes):
         if mode_id == INVALID_MODE:
             continue
@@ -109,7 +125,10 @@ def transcode_blocks(blocks_u8, target: str):
         padded = _bucket(m)
         group = np.zeros((padded, 4), np.uint32)
         group[:m] = lanes[idx]
-        o, e = _mode_kernel(target, int(mode_id))(group)
+        o, e = _mode_kernel(target, int(mode_id), backend)(group)
+        pending.append((idx, m, o, e))
+
+    for idx, m, o, e in pending:
         out[idx] = np.asarray(o)[:m]
         err[idx] |= np.asarray(e)[:m]
 

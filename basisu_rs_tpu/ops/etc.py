@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..tables import MODE8_ETC1_FLAGS_OFFSET, MODE8_RGBA_OFFSET, ModeCfg, np_tables
-from .bits import LaneWriter, U32, extract
+from .bits import lane_shape, lut_lookup, LaneWriter, U32, extract
 from .rgba import uastc_to_rgba_channels
 
 I32 = jnp.int32
@@ -39,11 +39,10 @@ def etc1_palette(base_rgb, inten):
 
     base_rgb: [r,g,b] int32[N] (0..255); inten: int32[N] 0..7.
     Returns [level k][channel c] nested list (etc.rs:420-431)."""
-    mods = np_tables()["ETC1_MODIFIERS"]  # [8, 4] int32
-    flat = jnp.asarray(mods.reshape(-1))
+    mods = np_tables()["ETC1_MODIFIERS"].reshape(-1)  # [8*4] int32
     colors = []
     for k in range(4):
-        m = jnp.take(flat, inten * 4 + k, axis=0)
+        m = lut_lookup(mods, inten * 4 + k)
         colors.append([jnp.clip(base_rgb[c] + m, 0, 255) for c in range(3)])
     return colors
 
@@ -55,7 +54,7 @@ def selector_wire_bits(sel, pixel_id: int):
     ETC1 wire format: byte0 = MSBs of pixels 8..15, byte1 = MSBs of 0..7,
     byte2/3 = LSBs likewise; bit index = pixel_id % 8."""
     # mod_id = SELECTOR_ID_TO_ETC1[sel] = [3, 2, 0, 1][sel]
-    mod_id = jnp.take(jnp.asarray(np_tables()["SELECTOR_ID_TO_ETC1"].astype("int32")), sel, axis=0)
+    mod_id = lut_lookup(np_tables()["SELECTOR_ID_TO_ETC1"], sel)
     ms = (mod_id >> 1) & 1
     ls = mod_id & 1
     ms_byte = 1 - pixel_id // 8
@@ -78,7 +77,7 @@ def decode_trans_flags(cfg: ModeCfg, lanes):
         out["bc1h1"] = extract(lanes, ofs, 1).astype(I32)
         ofs += 1
     else:
-        out["bc1h1"] = jnp.zeros(lanes.shape[:-1], I32)
+        out["bc1h1"] = jnp.zeros(lane_shape(lanes), I32)
     out["etc1f"] = extract(lanes, ofs, 1).astype(I32)
     out["etc1d"] = extract(lanes, ofs + 1, 1).astype(I32)
     out["etc1i0"] = extract(lanes, ofs + 2, 3).astype(I32)
@@ -92,7 +91,7 @@ def decode_trans_flags(cfg: ModeCfg, lanes):
     if cfg.has_alpha:
         out["etc2tm"] = extract(lanes, ofs, 8).astype(I32)
     else:
-        out["etc2tm"] = jnp.zeros(lanes.shape[:-1], I32)
+        out["etc2tm"] = jnp.zeros(lane_shape(lanes), I32)
     return out
 
 
@@ -129,9 +128,9 @@ def write_etc2_alpha_block(etc2tm, texels):
     # general path
     tbl_idx = etc2tm & 15
     mult = etc2tm >> 4
-    mods_flat = jnp.asarray(t["ETC2_ALPHA_MODIFIERS"].reshape(-1))
-    mods = [jnp.take(mods_flat, tbl_idx * 8 + j, axis=0) for j in range(8)]
-    frac = jnp.take(jnp.asarray(t["ETC2_ALPHA_FRACTION"]), tbl_idx, axis=0)
+    mods_flat = t["ETC2_ALPHA_MODIFIERS"].reshape(-1)
+    mods = [lut_lookup(mods_flat, tbl_idx * 8 + j) for j in range(8)]
+    frac = lut_lookup(t["ETC2_ALPHA_FRACTION"], tbl_idx)
 
     # center = round(lerp(min, max, frac)) in f32, round half away from zero
     # (always >= 0 here), etc.rs:301-307
@@ -180,10 +179,10 @@ def write_etc2_alpha_block(etc2tm, texels):
 
 def _apply_etc1_bias(color, bias, limit, subblock: int):
     """color: [3] list of int32[N]; bias: int32[N]; limit: int32[N] (15/31)."""
-    deltas_flat = jnp.asarray(np_tables()["ETC_BIAS_DELTAS"].reshape(-1).astype("int32"))
+    deltas_flat = np_tables()["ETC_BIAS_DELTAS"].reshape(-1)
     out = []
     for c in range(3):
-        delta = jnp.take(deltas_flat, bias * 6 + subblock * 3 + c, axis=0)
+        delta = lut_lookup(deltas_flat, bias * 6 + subblock * 3 + c)
         v = color[c]
         at_zero = jnp.where(delta == -2, v + 3, v + delta + 1)
         at_limit = v + delta - 1
@@ -201,7 +200,7 @@ def _apply_etc1_bias(color, bias, limit, subblock: int):
 
 def _mode8_etc1_lanes(lanes):
     """Mode 8: ETC1 block straight from the hint flags (etc.rs:43-75)."""
-    shape = lanes.shape[:-1]
+    shape = lane_shape(lanes)
     O = MODE8_ETC1_FLAGS_OFFSET
     d = extract(lanes, O, 1).astype(I32)
     i = extract(lanes, O + 1, 3).astype(I32)
@@ -220,7 +219,7 @@ def _mode8_etc1_lanes(lanes):
         | (byte2.astype(U32) << 16)
         | (byte3.astype(U32) << 24)
     )
-    sel = jnp.take(jnp.asarray([0b11, 0b10, 0b00, 0b01], I32), s, axis=0)
+    sel = lut_lookup(np_tables()["SELECTOR_ID_TO_ETC1"], s)
     s_lo = (sel & 1).astype(U32)
     s_hi = (sel >> 1).astype(U32)
     lane1 = (U32(0xFFFF) * s_hi) | ((U32(0xFFFF) * s_lo) << 16)
@@ -229,7 +228,7 @@ def _mode8_etc1_lanes(lanes):
 
 def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
     """The 8-byte ETC1 RGB block for non-mode-8 blocks (etc.rs:78-200)."""
-    shape = lanes.shape[:-1]
+    shape = lane_shape(lanes)
     etc1f = flags["etc1f"]
     etc1d = flags["etc1d"]
 
@@ -320,7 +319,7 @@ def uastc_to_etc1_mode(cfg: ModeCfg, lanes):
     """uint32[N,4] UASTC lanes -> (uint32[N,2] ETC1 lanes, err[N])."""
     if cfg.id == 8:
         lane0, lane1 = _mode8_etc1_lanes(lanes)
-        return jnp.stack([lane0, lane1], axis=-1), jnp.zeros(lanes.shape[:-1], bool)
+        return jnp.stack([lane0, lane1], axis=-1), jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
     texels, err = uastc_to_rgba_channels(cfg, lanes)
     lane0, lane1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
@@ -334,7 +333,7 @@ def uastc_to_etc2_mode(cfg: ModeCfg, lanes):
         a = extract(lanes, MODE8_RGBA_OFFSET + 24, 8).astype(I32)
         a0, a1 = _solid_alpha_lanes(a)
         r0, r1 = _mode8_etc1_lanes(lanes)
-        return jnp.stack([a0, a1, r0, r1], axis=-1), jnp.zeros(lanes.shape[:-1], bool)
+        return jnp.stack([a0, a1, r0, r1], axis=-1), jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
     texels, err = uastc_to_rgba_channels(cfg, lanes)
     a0, a1 = write_etc2_alpha_block(flags["etc2tm"], texels)

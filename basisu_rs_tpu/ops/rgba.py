@@ -12,7 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..tables import ModeCfg
-from .bits import U32
+from .bits import lane_shape, U32
 from .uastc_decode import (
     assemble_endpoint_pairs,
     astc_interpolate,
@@ -38,7 +38,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
     """Returns (texels, err): texels = list of 16 per-texel [r,g,b,a] int32[N]."""
     if cfg.id == 8:
         rgba = decode_mode8_rgba(lanes)
-        err = jnp.zeros(lanes.shape[:-1], bool)
+        err = jnp.zeros(lane_shape(lanes), bool)
         return [rgba] * 16, err
 
     f = decode_fields(cfg, lanes)

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 import jax.numpy as jnp
 
 from ..tables import BISE_RANGES, LA, ModeCfg, get_family
-from .bits import U32, extract, extract_dyn, mask
+from .bits import lane_shape, lut_lookup, U32, extract, extract_dyn, mask
 
 I32 = jnp.int32
 
@@ -83,14 +83,14 @@ def decode_endpoints(cfg: ModeCfg, lanes):
             tq.append((g // div) % base)
             div *= base
     if not tq:
-        tq = [jnp.zeros(lanes.shape[:-1], I32)] * e
+        tq = [jnp.zeros(lane_shape(lanes), I32)] * e
 
     qbits = []
     for i in range(e):
         if rng.bits:
             qbits.append(extract(lanes, bits_ofs + i * rng.bits, rng.bits).astype(I32))
         else:
-            qbits.append(jnp.zeros(lanes.shape[:-1], I32))
+            qbits.append(jnp.zeros(lane_shape(lanes), I32))
 
     unquant = [unquant_endpoint(tq[i], qbits[i], cfg.endpoint_range_index) for i in range(e)]
     return tq, qbits, unquant
@@ -116,18 +116,18 @@ def unquant_endpoint(trit_quint, bits, range_index: int):
 
 def decode_compsel(cfg: ModeCfg, lanes):
     if cfg.plane_count == 2 and cfg.format == LA:
-        return jnp.full(lanes.shape[:-1], 3, I32)  # LA always selects alpha
+        return jnp.full(lane_shape(lanes), 3, I32)  # LA always selects alpha
     if cfg.compsel_bits:
         return extract(lanes, cfg.field_offsets["compsel"], 2).astype(I32)
-    return jnp.zeros(lanes.shape[:-1], I32)
+    return jnp.zeros(lane_shape(lanes), I32)
 
 
 def decode_pattern(cfg: ModeCfg, lanes):
     """Returns (pat_clamped, err).  err=True marks an out-of-range pattern
     index (reference returns an error for the block, uastc.rs:361-365)."""
     if cfg.pattern_bits == 0:
-        z = jnp.zeros(lanes.shape[:-1], I32)
-        return z, jnp.zeros(lanes.shape[:-1], bool)
+        z = jnp.zeros(lane_shape(lanes), I32)
+        return z, jnp.zeros(lane_shape(lanes), bool)
     pat = extract(lanes, cfg.field_offsets["pattern"], cfg.pattern_bits).astype(I32)
     err = pat >= cfg.pattern_count
     return jnp.minimum(pat, cfg.pattern_count - 1), err
@@ -140,7 +140,7 @@ def decode_anchors(cfg: ModeCfg, pat):
     if fam is None or cfg.subset_count == 1 and cfg.id != 7:
         # Single-subset (incl. mode 1, whose *read* anchor list is [0]).
         return [jnp.zeros_like(pat)]
-    packed = jnp.take(jnp.asarray(fam.anchors_packed), pat, axis=0).astype(I32)
+    packed = lut_lookup(fam.anchors_packed, pat)
     return [(packed >> (4 * k)) & 15 for k in range(fam.nsub)]
 
 
@@ -264,7 +264,7 @@ def subsets_for_texels(cfg: ModeCfg, pat):
     if fam is None or cfg.id == 1:
         z = jnp.zeros_like(pat)
         return [z] * 16
-    packed = jnp.take(jnp.asarray(fam.pat_packed), pat, axis=0).astype(I32)
+    packed = lut_lookup(fam.pat_packed, pat)
     return [(packed >> (2 * i)) & 3 for i in range(16)]
 
 

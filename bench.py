@@ -91,8 +91,12 @@ def main() -> None:
 
     rate_dev = bench_device_only(blocks, "bc7")
     log(f"UASTC->BC7 device-only: {rate_dev/1e9:.2f} Gtexels/s")
-    rate_e2e = bench_end_to_end(blocks, "bc7")
-    log(f"UASTC->BC7 end-to-end:  {rate_e2e/1e9:.2f} Gtexels/s")
+    if os.environ.get("BENCH_E2E"):
+        # NB: under the axon tunnel D2H is ~0.3 MB/s (measured), so this
+        # number reflects the tunnel, not the pipeline; on host-attached
+        # TPUs D2H runs at PCIe rates.
+        rate_e2e = bench_end_to_end(blocks, "bc7")
+        log(f"UASTC->BC7 end-to-end:  {rate_e2e/1e9:.2f} Gtexels/s")
 
     if os.environ.get("BENCH_ALL"):
         for target in ("rgba", "astc", "etc1", "etc2"):
