@@ -1,0 +1,147 @@
+"""Table integrity tests: structural invariants the reference pins with its
+own unit tests (BC7 optimal-endpoint LUT validity, header field order), plus
+cross-checks between the scalar and vectorized dequantization paths."""
+
+import numpy as np
+
+from basisu_rs_tpu.container.basis import Header, SliceDesc
+from basisu_rs_tpu.container.crc import crc16
+from basisu_rs_tpu.tables import (
+    BISE_RANGES,
+    MODES,
+    bc7_mode_5_optimal_endpoints,
+    bc7_mode_6_optimal_endpoints,
+    pbit_luts,
+    unquant_endpoint_scalar,
+)
+
+
+def _interp(lo7, hi7, w, expand):
+    low, high = expand(lo7), expand(hi7)
+    return (low * (64 - w) + high * w + 32) >> 6
+
+
+def test_bc7_mode5_optimal_endpoints_are_lossless():
+    """BC7 777 with weight index 1 can hit every byte exactly
+    (reference pins this in bc7.rs:1243-1244)."""
+    t = bc7_mode_5_optimal_endpoints()
+    for c in range(256):
+        lo, hi = int(t[c, 0]), int(t[c, 1])
+        assert lo <= hi
+        k = _interp(lo, hi, 21, lambda v: (v << 1) | (v >> 6))
+        assert k == c, (c, lo, hi, k)
+
+
+def test_bc7_mode6_optimal_endpoints_err_structure():
+    """777.1: only the extremes are lossy, by exactly 1
+    (reference: bc7.rs:1133-1136, 1192-1195)."""
+    t = bc7_mode_6_optimal_endpoints()
+    for c in range(256):
+        # p = 0 entries live at index c+1
+        lo, hi = int(t[c + 1, 0]), int(t[c + 1, 1])
+        k = _interp(lo, hi, 21, lambda v: (v << 1) | 0)
+        assert abs(k - c) == (1 if c == 255 else 0)
+        # p = 1 entry for c exists at index c (shifted-table identity)
+        lo1, hi1 = int(t[c, 0]), int(t[c, 1])
+        k1 = _interp(lo1, hi1, 21, lambda v: (v << 1) | 1)
+        assert abs(k1 - c) == (1 if c == 0 else 0)
+
+
+def test_unquant_endpoint_scalar_vs_vectorized():
+    from basisu_rs_tpu.ops.uastc_decode import unquant_endpoint
+    import jax.numpy as jnp
+
+    for ri, rng in enumerate(BISE_RANGES):
+        tq_max = 3 if rng.trits else (5 if rng.quints else 1)
+        for tq in range(tq_max):
+            bits = np.arange(1 << rng.bits, dtype=np.int32)
+            vec = np.asarray(unquant_endpoint(jnp.full_like(jnp.asarray(bits), tq), jnp.asarray(bits), ri))
+            ref = np.array([unquant_endpoint_scalar(tq, int(b), ri) for b in bits])
+            np.testing.assert_array_equal(vec, ref, err_msg=f"range {ri} tq {tq}")
+
+
+def test_weight_unquant_formulas_match_reference_luts():
+    from basisu_rs_tpu.ops.uastc_decode import unquant_weight
+    import jax.numpy as jnp
+
+    luts = {
+        1: [0, 64],
+        2: [0, 21, 43, 64],
+        3: [0, 9, 18, 27, 37, 46, 55, 64],
+        4: [0, 4, 8, 12, 17, 21, 25, 29, 35, 39, 43, 47, 52, 56, 60, 64],
+        5: [0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 30, 34, 36,
+            38, 40, 42, 44, 46, 48, 50, 52, 54, 56, 58, 60, 62, 64],
+    }
+    for wb, lut in luts.items():
+        w = jnp.arange(len(lut))
+        np.testing.assert_array_equal(np.asarray(unquant_weight(w, wb)), lut)
+
+
+def test_bc7_weight_remap_matches_reference_luts():
+    from basisu_rs_tpu.ops.bc7 import remap_weight_to_bc7
+    import jax.numpy as jnp
+
+    cases = {
+        (1, 2): [0, 3],
+        (2, 4): [0, 5, 10, 15],
+        (3, 4): [0, 2, 4, 6, 9, 11, 13, 15],
+        (5, 4): [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 6, 7, 8, 9, 9, 9,
+                 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15],
+    }
+    for (ub, bb), lut in cases.items():
+        w = jnp.arange(len(lut))
+        np.testing.assert_array_equal(np.asarray(remap_weight_to_bc7(w, ub, bb)), lut)
+
+
+def test_pbit_luts_match_numpy_reference():
+    """Spot-check the f32 p-bit LUTs against a direct scalar transcription of
+    the reference math in numpy float32 (bc7.rs:437-456)."""
+    for tb in (5, 6, 7, 8):
+        xq, err_u, err_s = pbit_luts(tb)
+        iscalep = (1 << tb) - 1
+        for p in (0, 1):
+            for v in (0, 1, 17, 127, 254, 255):
+                xl = np.float32(v) / np.float32(255)
+                t = np.float32(xl * np.float32(iscalep))
+                q = int(np.float32((t - np.float32(p)) / np.float32(2) + np.float32(0.5)))
+                x = min(max(q * 2 + p, p), iscalep - 1 + p)
+                assert xq[p][v] == x >> 1
+
+
+def test_mode_bit_budgets():
+    """Every non-void mode's fields must fit in 128 bits exactly as laid out."""
+    for cfg in MODES:
+        if cfg.id == 8:
+            continue
+        weights_bits = 0
+        wb = cfg.weight_bits
+        # anchors cost 1 bit less each; subset_count anchors (mode 7 has 2)
+        n_anchors = {1: 1, 2: 2, 3: 3}[cfg.subset_count]
+        weights_bits = cfg.plane_count * (16 * wb) - cfg.plane_count * n_anchors
+        total = cfg.field_offsets["weights"] + weights_bits
+        assert total <= 128, (cfg.id, total)
+
+
+def test_header_field_order():
+    """Byte-ramp header parse (mirrors the reference's test, basis.rs:578-620)."""
+    b = bytes(range(Header.FILE_SIZE))
+    h = Header.from_file_bytes(b)
+    assert h.sig == 0x0100
+    assert h.data_size == int.from_bytes(bytes([8, 9, 10, 11]), "little")
+    assert h.total_slices == int.from_bytes(bytes([14, 15, 16]), "little")
+    assert h.tex_format == 20
+    assert h.total_endpoints == int.from_bytes(bytes([39, 40]), "little")
+    assert h.endpoint_cb_file_size == int.from_bytes(bytes([45, 46, 47]), "little")
+    assert h.extended_file_size == int.from_bytes(bytes([73, 74, 75, 76]), "little")
+
+    s = SliceDesc.from_file_bytes(bytes(range(SliceDesc.FILE_SIZE)))
+    assert s.image_index == int.from_bytes(bytes([0, 1, 2]), "little")
+    assert s.level_index == 3 and s.flags == 4
+    assert s.orig_width == int.from_bytes(bytes([5, 6]), "little")
+    assert s.slice_data_crc16 == int.from_bytes(bytes([21, 22]), "little")
+
+
+def test_crc16_known_answers():
+    # CRC-16/GENIBUS check value for "123456789" is 0xD64E
+    assert crc16(b"123456789") == 0xD64E
+    assert crc16(b"") == 0
