@@ -40,11 +40,11 @@ def _mode8_to_astc(lanes):
         v = rgba[c].astype(U32)
         w.put((v << 8) | v, ofs, 16)
         ofs += 16
-    return w.stack(), jnp.zeros(shape, bool)
+    return w.lanes, jnp.zeros(shape, bool)
 
 
 def uastc_to_astc_mode(cfg: ModeCfg, lanes):
-    """uint32[N,4] UASTC lanes -> (uint32[N,4] ASTC lanes, err[N])."""
+    """uint32[N,4] UASTC lanes -> (list of 4 ASTC output words, err[N])."""
     if cfg.id == 8:
         return _mode8_to_astc(lanes)
 
@@ -162,4 +162,4 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
         # CCS, not bit-reversed (astc.rs:174-177)
         writer.put(compsel.astype(U32), 128 - n_weights * wb - 2, 2)
 
-    return writer.stack(), err
+    return writer.lanes, err

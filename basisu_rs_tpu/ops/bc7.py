@@ -176,9 +176,7 @@ def _mode8_to_bc7(lanes):
         ofs += 4
 
     # select per word (keeps tensors 2-D for the Pallas/Mosaic path)
-    out = jnp.stack(
-        [jnp.where(use5, a, b) for a, b in zip(w5.lanes, w6.lanes)], axis=-1
-    )
+    out = [jnp.where(use5, a, b) for a, b in zip(w5.lanes, w6.lanes)]
     return out, jnp.zeros(shape, bool)
 
 
@@ -188,7 +186,7 @@ def _mode8_to_bc7(lanes):
 
 
 def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
-    """uint32[N,4] UASTC lanes -> (uint32[N,4] BC7 lanes, err[N])."""
+    """uint32[N,4] UASTC lanes -> (list of 4 BC7 output words, err[N])."""
     if cfg.id == 8:
         return _mode8_to_bc7(lanes)
 
@@ -348,7 +346,10 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
             anchors_before.append(ab)
         for i in range(16):
             pos = ofs + wb7 * i - anchors_before[i]
-            writer.put_dyn(w[0][i], pos, wb7)
+            writer.put_dyn(
+                w[0][i], pos, wb7,
+                bit_range=(ofs + wb7 * i - min(i, nsub7), ofs + wb7 * i),
+            )
         ofs += 16 * wb7 - nsub7
 
-    return writer.stack(), f.err
+    return writer.lanes, f.err

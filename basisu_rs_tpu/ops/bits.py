@@ -80,22 +80,36 @@ def extract(lanes, offset: int, count: int):
     return val
 
 
-def extract_dyn(lanes, offset, count: int):
+def extract_dyn(lanes, offset, count: int, bit_range=None):
     """Dynamic-offset extract: `offset` is a traced int32/uint32 array
-    broadcastable to the lane batch shape. `count` static, <= 32."""
+    broadcastable to the lane batch shape. `count` static, <= 32.
+
+    bit_range=(lo, hi): static bounds on the offset value (hi exclusive of
+    the last read bit).  Anchor-induced offset variation is only a few bits,
+    so the touched words are usually 1-2 of the 4 - the hint prunes the
+    word-select chain accordingly."""
     assert 0 < count <= 32
     W = lane_count(lanes)
+    if bit_range is not None:
+        wlo = max(bit_range[0] // 32, 0)
+        whi = min((bit_range[1] + count - 1) // 32, W - 1)
+    else:
+        wlo, whi = 0, W - 1
     offset = offset.astype(U32)
     w = offset >> U32(5)
     b = offset & U32(31)
     zero = jnp.zeros(jnp.broadcast_shapes(lane_shape(lanes), w.shape), U32)
-    lo = zero
-    hi = zero
-    for k in range(W):
-        lk = lane(lanes, k)
-        lo = jnp.where(w == k, lk, lo)
-        if k >= 1:
-            hi = jnp.where(w == k - 1, lk, hi)
+    if wlo == whi:
+        lo = lane(lanes, wlo)
+        hi = lane(lanes, wlo + 1) if wlo + 1 < W else zero
+    else:
+        lo = zero
+        hi = zero
+        for k in range(wlo, min(whi + 1, W)):
+            lk = lane(lanes, k)
+            lo = jnp.where(w == k, lk, lo)
+        for k in range(wlo + 1, min(whi + 2, W)):
+            hi = jnp.where(w == k - 1, lane(lanes, k), hi)
     val = (lo >> b) | jnp.where(b == 0, U32(0), hi << ((U32(32) - b) & U32(31)))
     if count < 32:
         val = val & U32(mask(count))
@@ -128,18 +142,29 @@ class LaneWriter:
             self.lanes[w + 1] = self.lanes[w + 1] | (value >> U32(32 - b))
 
     # -- dynamic offset -----------------------------------------------------
-    def put_dyn(self, value, offset, count: int) -> None:
+    def put_dyn(self, value, offset, count: int, bit_range=None) -> None:
+        """bit_range=(lo, hi): static bounds on `offset` (see extract_dyn)."""
         assert 0 < count <= 32
+        if bit_range is not None:
+            wlo = max(bit_range[0] // 32, 0)
+            whi = min((bit_range[1] + count - 1) // 32, self.W - 1)
+        else:
+            wlo, whi = 0, self.W - 1
         value = value.astype(U32) & U32(mask(count)) if count < 32 else value.astype(U32)
         offset = offset.astype(U32)
         w = offset >> U32(5)
         b = offset & U32(31)
         lo = value << b
         hi = jnp.where(b == 0, U32(0), value >> ((U32(32) - b) & U32(31)))
-        for k in range(self.W):
+        if wlo == whi:
+            self.lanes[wlo] = self.lanes[wlo] | lo
+            if wlo + 1 < self.W:
+                self.lanes[wlo + 1] = self.lanes[wlo + 1] | hi
+            return
+        for k in range(wlo, min(whi + 1, self.W)):
             self.lanes[k] = self.lanes[k] | jnp.where(w == k, lo, U32(0))
-            if k >= 1:
-                self.lanes[k] = self.lanes[k] | jnp.where(w == k - 1, hi, U32(0))
+        for k in range(wlo + 1, min(whi + 2, self.W)):
+            self.lanes[k] = self.lanes[k] | jnp.where(w == k - 1, hi, U32(0))
 
     def stack(self):
         return jnp.stack(self.lanes, axis=-1)
@@ -212,6 +237,23 @@ def pad_table_for_kernel(table_np):
     return a.reshape(-1, 128)
 
 
+def gather_chunked(loaded, idx):
+    """Gather loaded[idx] where `loaded` is a [chunks, 128] traced array
+    (runtime table, e.g. an ETC1S codebook) and idx is a 2-D integer array.
+    Uses the only gather shape Mosaic lowers: exactly-128-lane
+    take_along_axis, with a select across chunk rows."""
+    idx = idx.astype(jnp.int32)
+    chunks = loaded.shape[0]
+    within = idx & 127
+    out = jnp.take_along_axis(jnp.broadcast_to(loaded[0:1], idx.shape), within, axis=1)
+    for c in range(1, chunks):
+        val = jnp.take_along_axis(
+            jnp.broadcast_to(loaded[c : c + 1], idx.shape), within, axis=1
+        )
+        out = jnp.where((idx >> 7) == c, val, out)
+    return out
+
+
 def lut_lookup(table_np, idx):
     """table_np: small constant 1-D numpy array; idx: traced integer array.
     Returns int32 (integer tables) or float32 values."""
@@ -225,15 +267,7 @@ def lut_lookup(table_np, idx):
         return jnp.take(jnp.asarray(_canonical_table(table_np)), idx, axis=0)
 
     loaded = mode[1][table_key(table_np)]  # [chunks, 128] kernel input
-    chunks = loaded.shape[0]
-    within = idx & 127
-    out = jnp.take_along_axis(jnp.broadcast_to(loaded[0:1], idx.shape), within, axis=1)
-    for c in range(1, chunks):
-        val = jnp.take_along_axis(
-            jnp.broadcast_to(loaded[c : c + 1], idx.shape), within, axis=1
-        )
-        out = jnp.where((idx >> 7) == c, val, out)
-    return out
+    return gather_chunked(loaded, idx)
 
 
 def select_lut(index, table_np):

@@ -85,7 +85,12 @@ def _mode_kernel(target: str, mode_id: int, backend: str | None = None):
         return pallas_mode_kernel(target, mode_id)
     fn, _ = _REGISTRY[target]
     cfg = MODES[mode_id]
-    return jax.jit(partial(fn, cfg))
+
+    def stacked(lanes):
+        words, err = fn(cfg, lanes)
+        return jnp.stack(words, axis=-1), err
+
+    return jax.jit(stacked)
 
 
 def _bucket(n: int) -> int:
@@ -154,9 +159,9 @@ def transcode_all_modes_fn(target: str):
         out = jnp.zeros((lanes.shape[0], out_words), jnp.uint32)
         err = mode == INVALID_MODE
         for cfg in MODES:
-            o, e = fn(cfg, lanes)
+            words, e = fn(cfg, lanes)
             sel = mode == cfg.id
-            out = jnp.where(sel[:, None], o, out)
+            out = jnp.where(sel[:, None], jnp.stack(words, axis=-1), out)
             err = jnp.where(sel, e, err)
         return out, err
 

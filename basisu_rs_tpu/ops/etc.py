@@ -316,26 +316,26 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
 
 
 def uastc_to_etc1_mode(cfg: ModeCfg, lanes):
-    """uint32[N,4] UASTC lanes -> (uint32[N,2] ETC1 lanes, err[N])."""
+    """uint32[N,4] UASTC lanes -> (list of 2 ETC1 output words, err[N])."""
     if cfg.id == 8:
         lane0, lane1 = _mode8_etc1_lanes(lanes)
-        return jnp.stack([lane0, lane1], axis=-1), jnp.zeros(lane_shape(lanes), bool)
+        return [lane0, lane1], jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
     texels, err = uastc_to_rgba_channels(cfg, lanes)
     lane0, lane1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
-    return jnp.stack([lane0, lane1], axis=-1), err
+    return [lane0, lane1], err
 
 
 def uastc_to_etc2_mode(cfg: ModeCfg, lanes):
-    """uint32[N,4] UASTC lanes -> (uint32[N,4] ETC2 lanes: EAC alpha block
-    then ETC1 RGB block, err[N])."""
+    """uint32[N,4] UASTC lanes -> (list of 4 ETC2 output words: EAC alpha
+    block then ETC1 RGB block, err[N])."""
     if cfg.id == 8:
         a = extract(lanes, MODE8_RGBA_OFFSET + 24, 8).astype(I32)
         a0, a1 = _solid_alpha_lanes(a)
         r0, r1 = _mode8_etc1_lanes(lanes)
-        return jnp.stack([a0, a1, r0, r1], axis=-1), jnp.zeros(lane_shape(lanes), bool)
+        return [a0, a1, r0, r1], jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
     texels, err = uastc_to_rgba_channels(cfg, lanes)
     a0, a1 = write_etc2_alpha_block(flags["etc2tm"], texels)
     r0, r1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
-    return jnp.stack([a0, a1, r0, r1], axis=-1), err
+    return [a0, a1, r0, r1], err

@@ -110,11 +110,25 @@ def _jitted(name):
     }[name]
 
 
+def _use_pallas() -> bool:
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass=None):
     """Host entry: decode an ETC1S slice to packed RGBA texels.
 
     alpha_pass: optional (ep_idx, sel_idx) of the paired alpha slice; its
-    G channel replaces the alpha byte (basis.rs:26-50 pairing)."""
+    G channel replaces the alpha byte (basis.rs:26-50 pairing).
+    On TPU the Pallas kernels run (chunked in-VMEM codebook gathers); the
+    jnp.take path serves CPU."""
+    if _use_pallas():
+        from .etc1s_pallas import etc1s_alpha_pallas, etc1s_rgba_pallas
+
+        rgba = etc1s_rgba_pallas(endpoints_np, selectors_np, ep_idx_np, sel_idx_np)
+        if alpha_pass is not None:
+            a = etc1s_alpha_pallas(endpoints_np, selectors_np, *alpha_pass)
+            rgba = (rgba & U32(0x00FFFFFF)) | (a << U32(24))
+        return np.asarray(rgba)
     rgba = _jitted("rgba")(
         jnp.asarray(endpoints_np), jnp.asarray(selectors_np),
         jnp.asarray(ep_idx_np.astype(np.int32)), jnp.asarray(sel_idx_np.astype(np.int32)),
@@ -130,9 +144,13 @@ def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass
 
 
 def run_etc1s_etc1(endpoints_np, selectors_np, ep_idx_np, sel_idx_np):
-    wire = jnp.asarray(selector_wire_words_np(selectors_np))
+    wire_np = selector_wire_words_np(selectors_np)
+    if _use_pallas():
+        from .etc1s_pallas import etc1s_etc1_pallas
+
+        return np.asarray(etc1s_etc1_pallas(endpoints_np, wire_np, ep_idx_np, sel_idx_np))
     out = _jitted("etc1")(
-        jnp.asarray(endpoints_np), wire,
+        jnp.asarray(endpoints_np), jnp.asarray(wire_np),
         jnp.asarray(ep_idx_np.astype(np.int32)), jnp.asarray(sel_idx_np.astype(np.int32)),
     )
     return np.asarray(out)

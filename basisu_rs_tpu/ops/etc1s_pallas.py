@@ -1,0 +1,189 @@
+"""Pallas TPU kernels for the ETC1S back-end.
+
+The ETC1S device stage is a codebook gather + palette select per block
+(ops/etc1s.py documents the math).  XLA's scalar TPU gather lowering makes
+the jnp.take path unusable at scale on TPU, so these kernels gather the
+codebooks - packed one word per entry and shipped as `[chunks, 128]` VMEM
+inputs - with the chunked 128-lane `take_along_axis` scheme from ops/bits.
+
+Codebook packing (host side):
+  endpoint entry -> u32: r5 | g5<<5 | b5<<10 | inten3<<15
+  selector entry -> u32: the four 2-bit-selector row bytes, row y at byte y
+  ETC1 wire entry -> u32: precomputed Selector::etc1_bytes word
+
+Codebook lengths are padded to a multiple of 128; the chunk count is part of
+the kernel's shape signature (one compile per codebook-size bucket).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..tables import np_tables
+from . import bits
+from .bits import U32, gather_chunked
+
+LANE = 128
+ROWS = 8
+
+I32 = jnp.int32
+
+
+def pack_endpoints_np(endpoints: np.ndarray) -> np.ndarray:
+    """uint8 [E,4] (r5,g5,b5,inten3) -> uint32 [ceil(E/128),128]."""
+    e = endpoints.astype(np.uint32)
+    word = e[:, 0] | (e[:, 1] << 5) | (e[:, 2] << 10) | (e[:, 3] << 15)
+    pad = (-len(word)) % LANE
+    if pad:
+        word = np.concatenate([word, np.zeros(pad, np.uint32)])
+    return word.reshape(-1, LANE)
+
+
+def pack_selectors_np(selectors: np.ndarray) -> np.ndarray:
+    """uint8 [S,4] row bytes -> uint32 [ceil(S/128),128]."""
+    s = selectors.astype(np.uint32)
+    word = s[:, 0] | (s[:, 1] << 8) | (s[:, 2] << 16) | (s[:, 3] << 24)
+    pad = (-len(word)) % LANE
+    if pad:
+        word = np.concatenate([word, np.zeros(pad, np.uint32)])
+    return word.reshape(-1, LANE)
+
+
+def pack_wire_np(wire: np.ndarray) -> np.ndarray:
+    pad = (-len(wire)) % LANE
+    w = wire.astype(np.uint32)
+    if pad:
+        w = np.concatenate([w, np.zeros(pad, np.uint32)])
+    return w.reshape(-1, LANE)
+
+
+def _palette(ep_word):
+    """ep packed word [R,128] -> (pal[level][channel] int32, base expanded)."""
+    mods = np_tables()["ETC1_MODIFIERS"].reshape(-1)
+    r5 = (ep_word & 31).astype(I32)
+    g5 = ((ep_word >> 5) & 31).astype(I32)
+    b5 = ((ep_word >> 10) & 31).astype(I32)
+    inten = ((ep_word >> 15) & 7).astype(I32)
+    base = [(c << 3) | (c >> 2) for c in (r5, g5, b5)]
+    pal = []
+    for k in range(4):
+        m = bits.lut_lookup(mods, inten * 4 + k)
+        pal.append([jnp.clip(base[c] + m, 0, 255) for c in range(3)])
+    return pal
+
+
+def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
+    pal = _palette(ep_words)
+    for y in range(4):
+        row = (sel_words >> (8 * y)) & 0xFF
+        for x in range(4):
+            s = ((row >> (2 * x)) & 3).astype(I32)
+            if alpha_only:
+                g = pal[0][1]
+                for k in range(1, 4):
+                    g = jnp.where(s == k, pal[k][1], g)
+                out_refs[y * 4 + x][...] = g.astype(U32)
+            else:
+                px = [pal[0][c] for c in range(3)]
+                for k in range(1, 4):
+                    px = [jnp.where(s == k, pal[k][c], px[c]) for c in range(3)]
+                out_refs[y * 4 + x][...] = (
+                    px[0].astype(U32)
+                    | (px[1].astype(U32) << 8)
+                    | (px[2].astype(U32) << 16)
+                    | U32(0xFF000000)
+                )
+
+
+@lru_cache(maxsize=None)
+def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: bool):
+    out_words = {"rgba": 16, "alpha": 16, "etc1": 2}[kind]
+
+    mods_np = np_tables()["ETC1_MODIFIERS"].reshape(-1)
+
+    def kernel(*refs):
+        ep_tab, sel_tab, ep_idx_ref, sel_idx_ref, mods_ref = refs[:5]
+        out_refs = refs[5:]
+        ep_idx = ep_idx_ref[...]
+        sel_idx = sel_idx_ref[...]
+        provide = {bits.table_key(mods_np): mods_ref[...]}
+        with bits.table_mode("provide", provide):
+            if kind == "etc1":
+                ep_words = gather_chunked(ep_tab[...], ep_idx)
+                wire = gather_chunked(sel_tab[...], sel_idx)
+                inten = (ep_words >> 15) & 7
+                r5 = ep_words & 31
+                g5 = (ep_words >> 5) & 31
+                b5 = (ep_words >> 10) & 31
+                out_refs[0][...] = (
+                    (r5 << 3) | ((g5 << 3) << 8) | ((b5 << 3) << 16)
+                    | (((inten << 5) | (inten << 2) | U32(0b11)) << 24)
+                ).astype(U32)
+                out_refs[1][...] = wire
+            else:
+                ep_words = gather_chunked(ep_tab[...], ep_idx)
+                sel_words = gather_chunked(sel_tab[...], sel_idx)
+                _rgba_kernel_body(ep_words, sel_words, out_refs, kind == "alpha")
+
+    grid = (pl.cdiv(n_rows, ROWS),)
+    idx_spec = pl.BlockSpec((ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tab_spec, tab_spec, idx_spec, idx_spec, tab_spec],
+        out_specs=[idx_spec] * out_words,
+        out_shape=[jax.ShapeDtypeStruct((n_rows, LANE), jnp.uint32)] * out_words,
+        interpret=interpret,
+    )
+
+
+def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
+    n = len(ep_idx_np)
+    tile = ROWS * LANE
+    n_pad = ((n + tile - 1) // tile) * tile
+    ep_idx = np.zeros(n_pad, np.int32)
+    ep_idx[:n] = ep_idx_np
+    sel_idx = np.zeros(n_pad, np.int32)
+    sel_idx[:n] = sel_idx_np
+    call = _build(kind, ep_tab_np.shape[0], sel_tab_np.shape[0], n_pad // LANE, interpret)
+    mods_np = np_tables()["ETC1_MODIFIERS"].reshape(-1)
+    outs = call(
+        jnp.asarray(ep_tab_np),
+        jnp.asarray(sel_tab_np),
+        jnp.asarray(ep_idx.reshape(-1, LANE)),
+        jnp.asarray(sel_idx.reshape(-1, LANE)),
+        jnp.asarray(bits.pad_table_for_kernel(mods_np)),
+    )
+    out = jnp.stack([o.reshape(n_pad) for o in outs], axis=-1)[:n]
+    return out
+
+
+def etc1s_rgba_pallas(endpoints_np, selectors_np, ep_idx, sel_idx, interpret=False):
+    """-> uint32 [N,16] packed RGBA texels (device array)."""
+    return _run(
+        "rgba", pack_endpoints_np(endpoints_np), pack_selectors_np(selectors_np),
+        ep_idx, sel_idx, interpret,
+    )
+
+
+def etc1s_alpha_pallas(endpoints_np, selectors_np, ep_idx, sel_idx, interpret=False):
+    """-> uint32 [N,16] alpha bytes (G channel of the palette color)."""
+    return _run(
+        "alpha", pack_endpoints_np(endpoints_np), pack_selectors_np(selectors_np),
+        ep_idx, sel_idx, interpret,
+    )
+
+
+def etc1s_etc1_pallas(endpoints_np, wire_np, ep_idx, sel_idx, interpret=False):
+    """-> uint32 [N,2] ETC1 block lanes."""
+    return _run(
+        "etc1", pack_endpoints_np(endpoints_np), pack_wire_np(wire_np),
+        ep_idx, sel_idx, interpret,
+    )

@@ -69,9 +69,9 @@ def _pallas_build(target: str, mode_id: int, rows: int, interpret: bool = False)
         err_ref = refs[4 + len(keys) + out_words]
         provide = {k: tab_refs[i][...] for i, k in enumerate(keys)}
         with bits.table_mode("provide", provide):
-            out, err = fn(cfg, tuple(r[...] for r in in_refs))
+            words, err = fn(cfg, tuple(r[...] for r in in_refs))
         for k in range(out_words):
-            out_refs[k][...] = out[..., k]
+            out_refs[k][...] = words[k].astype(jnp.uint32)
         err_ref[...] = err.astype(jnp.int32)
 
     @lru_cache(maxsize=None)

@@ -78,7 +78,10 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
 
 
 def uastc_to_rgba_mode(cfg: ModeCfg, lanes):
-    """uint32[N,4] UASTC lanes -> (uint32[N,16] packed RGBA texels, err[N])."""
+    """uint32[N,4] UASTC lanes -> (list of 16 packed RGBA texel words, err[N]).
+
+    Word-list outputs (not a stacked [..., 16] tensor) keep every tensor 2-D
+    inside Pallas kernels; Mosaic handles minor-dim-16 stacks catastrophically
+    badly (measured ~13x slowdown from relayouts)."""
     texels, err = uastc_to_rgba_channels(cfg, lanes)
-    out = jnp.stack([pack_rgba(*px) for px in texels], axis=-1)
-    return out, err
+    return [pack_rgba(*px) for px in texels], err

@@ -178,14 +178,19 @@ def decode_weights(cfg: ModeCfg, lanes, pat):
         is_anchor.append(ia)
         anchors_before.append(ab)
 
+    max_anchors = len(anchors)
     for i in range(16):
         ia = is_anchor[i].astype(I32)
         bits_i = wb - ia  # dynamic
         texel_ofs = base + planes * (wb * i) - planes * anchors_before[i]
         wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
+        # static bounds: anchors_before_i <= min(i, max_anchors), so the
+        # dynamic offset spans only a few bits -> 1-2 touched words
+        ofs_min = base + planes * (wb * i) - planes * min(i, max_anchors)
         for p in range(planes):
             ofs = texel_ofs + p * bits_i
-            raw = extract_dyn(lanes, ofs, wb).astype(I32)
+            ofs_max = base + planes * (wb * i) + p * wb
+            raw = extract_dyn(lanes, ofs, wb, bit_range=(ofs_min, ofs_max)).astype(I32)
             weights.append(raw & wmask)
     return weights, anchors
 

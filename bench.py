@@ -76,17 +76,17 @@ def mode_rate(target: str, mode_id: int, lanes_np: np.ndarray):
         return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
     int(chained(xp, 2))
-    int(chained(xp, 34))  # warm both trip counts
+    int(chained(xp, 66))  # warm both trip counts
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
         int(chained(xp, 2))
         t2 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        int(chained(xp, 34))
-        t34 = time.perf_counter() - t0
-        samples.append((t34 - t2) / 32)
-    return sorted(samples)[1], n_pad
+        int(chained(xp, 66))
+        t66 = time.perf_counter() - t0
+        samples.append((t66 - t2) / 64)
+    return max(sorted(samples)[1], 1e-9), n_pad
 
 
 def bench_target(target: str, blocks: np.ndarray) -> float:
@@ -105,6 +105,63 @@ def bench_target(target: str, blocks: np.ndarray) -> float:
     return total_blocks * 16 / total_s
 
 
+def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
+    """ETC1S back-end rates (BASELINE configs 2 and 4): codebook gather +
+    palette kernels over a synthetic codebook/index stream."""
+    from basisu_rs_tpu.ops import bits
+    from basisu_rs_tpu.ops.etc1s import selector_wire_words_np
+    from basisu_rs_tpu.ops.etc1s_pallas import (
+        LANE as EL,
+        ROWS as ER,
+        _build,
+        pack_endpoints_np,
+        pack_selectors_np,
+        pack_wire_np,
+    )
+    from basisu_rs_tpu.tables import np_tables
+
+    rng = np.random.default_rng(5)
+    endpoints = np.zeros((e, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+    endpoints[:, 3] = rng.integers(0, 8, e)
+    selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+    ep_idx = rng.integers(0, e, n).astype(np.int32)
+    sel_idx = rng.integers(0, s, n).astype(np.int32)
+    ep_tab = jnp.asarray(pack_endpoints_np(endpoints))
+    mods = jnp.asarray(bits.pad_table_for_kernel(np_tables()["ETC1_MODIFIERS"].reshape(-1)))
+    n_pad = ((n + ER * EL - 1) // (ER * EL)) * (ER * EL)
+    epi = jnp.asarray(np.resize(ep_idx, n_pad).reshape(-1, EL))
+    seli = jnp.asarray(np.resize(sel_idx, n_pad).reshape(-1, EL))
+    rates = {}
+    for kind, tab in (
+        ("rgba", jnp.asarray(pack_selectors_np(selectors))),
+        ("etc1", jnp.asarray(pack_wire_np(selector_wire_words_np(selectors)))),
+    ):
+        call = _build(kind, ep_tab.shape[0], tab.shape[0], n_pad // EL, False)
+
+        @partial(jax.jit, static_argnums=2)
+        def chained(a, b, reps, call=call, tab=tab):
+            def body(i, c):
+                outs = call(ep_tab, tab, a ^ (c & 1023), b, mods)
+                return outs[0][0, 0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        int(chained(epi, seli, 2))
+        int(chained(epi, seli, 66))
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(chained(epi, seli, 2))
+            t2 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            int(chained(epi, seli, 66))
+            t66 = time.perf_counter() - t0
+            samples.append((t66 - t2) / 64)
+        rates[kind] = n_pad * 16 / max(sorted(samples)[1], 1e-9)
+    return rates
+
+
 def main() -> None:
     n_chips = len(jax.devices())
     log(f"devices: {[str(d) for d in jax.devices()]}, N={N_BLOCKS} blocks")
@@ -117,6 +174,8 @@ def main() -> None:
         for target in ("rgba", "astc", "etc1", "etc2"):
             r = bench_target(target, blocks)
             log(f"UASTC->{target.upper()} aggregate: {r/1e9:.2f} Gtexels/s")
+        for kind, er in bench_etc1s().items():
+            log(f"ETC1S->{kind.upper()}: {er/1e9:.2f} Gtexels/s")
 
     per_chip_target = TARGET_GTEXELS_V5E8 / 8
     print(
