@@ -58,5 +58,5 @@ def global_stats(local_texels: int, local_errors: int):
     )
     arr = jnp.zeros((len(devices), 2), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
     arr = arr.at[0, 0].set(local_texels).at[0, 1].set(local_errors)
-    out = fn(arr)
-    return int(out[0]), int(out[1])
+    out = fn(arr)  # [1, 2] (per-shard rows reduced)
+    return int(out[0, 0]), int(out[0, 1])
