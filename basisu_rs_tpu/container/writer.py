@@ -210,6 +210,210 @@ def encode_etc1s_selector_codebook(selectors: np.ndarray) -> bytes:
     return w.getvalue()
 
 
+class Etc1sSliceFuzzEncoder:
+    """Randomized ETC1S slice encoder that exercises the decoder's full state
+    machine - endpoint predictors 0-3 (with the per-position legality rules),
+    endpoint-pred RLE + VLC, selector history buffer with approximate
+    move-to-front, selector RLE runs, and the texture-video prev-frame path.
+
+    It *simulates* the decoder while encoding, so the expected
+    (endpoint_index, selector_index) stream falls out by construction
+    (mod.rs:188-458 is the behavioral contract being fuzzed).
+    """
+
+    def __init__(self, num_endpoints, num_selectors, hist_size, rng, is_video=False):
+        self.E = num_endpoints
+        self.S = num_selectors
+        self.H = hist_size
+        self.rng = rng
+        self.is_video = is_video
+
+    def encode_slice(self, w: BitWriterLsb, pred_enc, delta_enc, sel_enc, rle_enc, nbx, nby):
+        """Returns (ep_idx, sel_idx) uint16 arrays the decoder must produce."""
+        import numpy as np
+
+        rng = self.rng
+        E, S, H = self.E, self.S, self.H
+        ep_out = np.zeros(nbx * nby, np.uint16)
+        sel_out = np.zeros(nbx * nby, np.uint16)
+
+        pred_rows = np.zeros((2, nbx), np.uint8)
+        pred_ep_rows = np.zeros((2, nbx), np.uint16)
+        prev_ep = 0
+        hist = [0] * H
+        rover = H // 2
+        sel_rle_left = 0
+        if self.is_video:
+            prev_frame = np.zeros((nbx * nby, 2), np.uint16)
+
+        def pick_pred(bx, by):
+            opts = [3]
+            if bx > 0:
+                opts.append(0)
+            if by > 0:
+                opts.append(1)
+            if (bx > 0 and by > 0) or self.is_video:
+                opts.append(2)
+            return int(rng.choice(opts))
+
+        bi = 0
+        for by in range(nby):
+            cur = by & 1
+            for bx in range(nbx):
+                if bx & 1 == 0:
+                    if by & 1 == 0:
+                        # choose preds for the 2x2 group and emit the symbol
+                        p00 = pick_pred(bx, by)
+                        p10 = pick_pred(bx + 1, by) if bx + 1 < nbx else 3
+                        p01 = pick_pred(bx, by + 1) if by + 1 < nby else 3
+                        p11 = (
+                            pick_pred(bx + 1, by + 1)
+                            if bx + 1 < nbx and by + 1 < nby
+                            else 3
+                        )
+                        sym = p00 | (p10 << 2) | (p01 << 4) | (p11 << 6)
+                        pred_enc.encode(w, sym)
+                        cur_pred_bits = sym
+                        pred_rows[cur ^ 1, bx] = sym >> 4
+                    else:
+                        cur_pred_bits = int(pred_rows[cur, bx])
+
+                pred = cur_pred_bits & 3
+                cur_pred_bits >>= 2
+
+                if pred == 0:
+                    ep = prev_ep
+                elif pred == 1:
+                    ep = int(pred_ep_rows[cur ^ 1, bx])
+                elif pred == 2:
+                    if self.is_video:
+                        ep = int(prev_frame[bi, 0])
+                    else:
+                        ep = int(pred_ep_rows[cur ^ 1, bx - 1])
+                else:
+                    ep = int(rng.integers(0, E))
+                    delta = (ep - prev_ep) % E
+                    delta_enc.encode(w, delta)
+
+                pred_ep_rows[cur, bx] = ep
+                prev_ep = ep
+
+                if not self.is_video or pred != 2:
+                    if sel_rle_left > 0:
+                        sel_rle_left -= 1
+                        sel = hist[0]
+                    else:
+                        action = rng.random()
+                        if H > 0 and action < 0.2:
+                            # history reference
+                            j = int(rng.integers(0, H))
+                            sel_enc.encode(w, S + j)
+                            sel = hist[j]
+                            if j > 0:
+                                hist[j // 2], hist[j] = hist[j], hist[j // 2]
+                        elif H > 0 and action < 0.3:
+                            # RLE run of hist[0]
+                            count = int(rng.integers(3, 80))
+                            sel_enc.encode(w, S + H)
+                            run_sym = count - 3
+                            if run_sym >= 63:
+                                rle_enc.encode(w, 63)
+                                _write_vlc(w, count - 3, 7)
+                            else:
+                                rle_enc.encode(w, run_sym)
+                            sel_rle_left = count - 1
+                            sel = hist[0]
+                        else:
+                            sel = int(rng.integers(0, S))
+                            sel_enc.encode(w, sel)
+                            if H > 0:
+                                hist[rover] = sel
+                                rover += 1
+                                if rover == H:
+                                    rover = H // 2
+                else:
+                    sel = int(prev_frame[bi, 1])
+
+                if self.is_video:
+                    prev_frame[bi, 0] = ep
+                    prev_frame[bi, 1] = sel
+
+                ep_out[bi] = ep
+                sel_out[bi] = sel
+                bi += 1
+
+        return ep_out, sel_out
+
+
+def _write_vlc(w: BitWriterLsb, v: int, chunk_bits: int) -> None:
+    """Inverse of decode_vlc (mod.rs:585-608)."""
+    chunk_mask = (1 << chunk_bits) - 1
+    while True:
+        chunk = v & chunk_mask
+        v >>= chunk_bits
+        if v:
+            w.write(chunk_bits + 1, chunk | (1 << chunk_bits))
+        else:
+            w.write(chunk_bits + 1, chunk)
+            return
+
+
+def write_etc1s_basis_fuzz(endpoints, selectors, nbx, nby, hist_size, seed, is_video=False):
+    """Full .basis file exercising the ETC1S state machine; returns
+    (file_bytes, expected_ep_idx, expected_sel_idx)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    E, S, H = len(endpoints), len(selectors), hist_size
+
+    ep_cb = encode_etc1s_endpoint_codebook(endpoints)
+    sel_cb = encode_etc1s_selector_codebook(selectors)
+
+    tw = BitWriterLsb()
+    pred_enc = write_huffman_table(tw, equal_length_sizes(257))
+    delta_enc = write_huffman_table(tw, equal_length_sizes(E))
+    sel_enc = write_huffman_table(tw, equal_length_sizes(S + H + 1))
+    rle_enc = write_huffman_table(tw, equal_length_sizes(64))
+    tw.write(13, H)
+    tables = tw.getvalue()
+
+    w = BitWriterLsb()
+    enc = Etc1sSliceFuzzEncoder(E, S, H, rng, is_video)
+    ep_idx, sel_idx = enc.encode_slice(w, pred_enc, delta_enc, sel_enc, rle_enc, nbx, nby)
+    payload = w.getvalue()
+
+    header_size = 77
+    ep_ofs = header_size
+    sel_ofs = ep_ofs + len(ep_cb)
+    tab_ofs = sel_ofs + len(sel_cb)
+    slice_desc_ofs = tab_ofs + len(tables)
+    payload_ofs = slice_desc_ofs + 23
+
+    desc = _pack_slice_desc(
+        0, 0, 0, nbx * 4, nby * 4, nbx, nby, payload_ofs, len(payload), crc16(payload)
+    )
+    body = ep_cb + sel_cb + tables + desc + payload
+    header = _pack_header(
+        data_size=len(body),
+        data_crc16=crc16(body),
+        total_slices=1,
+        total_images=1,
+        tex_format=0,
+        flags=1,
+        tex_type=3 if is_video else 0,
+        total_endpoints=E,
+        endpoint_ofs=ep_ofs,
+        endpoint_size=len(ep_cb),
+        total_selectors=S,
+        selector_ofs=sel_ofs,
+        selector_size=len(sel_cb),
+        tables_ofs=tab_ofs,
+        tables_size=len(tables),
+        slice_desc_ofs=slice_desc_ofs,
+    )
+    return header + body, ep_idx, sel_idx
+
+
 def write_etc1s_basis(
     endpoints: np.ndarray,
     selectors: np.ndarray,
