@@ -1,0 +1,78 @@
+"""Corpus pipeline: mixed UASTC/ETC1S corpus, error isolation, resume."""
+
+import numpy as np
+
+from basisu_rs_tpu.container.writer import write_etc1s_basis, write_uastc_basis
+from basisu_rs_tpu.models.pipeline import BasisCorpusPipeline, PipelineState
+
+
+def _make_corpus(tmp_path, golden):
+    paths = []
+    # two UASTC files
+    for i, n in enumerate((24, 48)):
+        buf = write_uastc_basis(
+            [dict(blocks=golden["bc7_in"][:n], nbx=n // 4, nby=4,
+                  orig_width=n, orig_height=16)]
+        )
+        p = tmp_path / f"u{i}.basis"
+        p.write_bytes(buf)
+        paths.append(p)
+    # one ETC1S file
+    rng = np.random.default_rng(0)
+    E, S = 17, 11
+    endpoints = np.zeros((E, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (E, 3))
+    endpoints[:, 3] = rng.integers(0, 8, E)
+    selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
+    n = 6 * 4
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=rng.integers(0, E, n).astype(np.uint16),
+              sel_idx=rng.integers(0, S, n).astype(np.uint16),
+              nbx=6, nby=4, orig_width=24, orig_height=16)],
+    )
+    p = tmp_path / "e0.basis"
+    p.write_bytes(buf)
+    paths.append(p)
+    # one corrupt file
+    bad = tmp_path / "bad.basis"
+    bad.write_bytes(b"XX" + buf[2:])
+    paths.append(bad)
+    return paths
+
+
+def test_pipeline_rgba_corpus(tmp_path, golden):
+    paths = _make_corpus(tmp_path, golden)
+    pipe = BasisCorpusPipeline("rgba", workers=2)
+    results = list(pipe.run(paths))
+    assert len(results) == 3  # corrupt file isolated
+    assert len(pipe.errors) == 1 and "bad.basis" in pipe.errors[0][0]
+    assert all(r.texels > 0 for r in results)
+
+
+def test_pipeline_resume(tmp_path, golden):
+    paths = _make_corpus(tmp_path, golden)[:3]
+    state = PipelineState()
+    pipe = BasisCorpusPipeline("bc7", workers=2)
+    first = list(pipe.run(paths[:2], state))
+    assert len(first) == 2
+    # resume: only the ETC1S file remains, and ETC1S->bc7 is unsupported
+    # (the reference hits unimplemented! there, basis.rs:258), so it lands
+    # in the error list rather than being re-processed.
+    rest = list(pipe.run(paths, state))
+    assert len(rest) == 0
+    assert len(pipe.errors) == 1
+
+
+def test_pipeline_bc7_matches_direct(tmp_path, golden):
+    from basisu_rs_tpu.ops import transcode_blocks
+
+    buf = write_uastc_basis(
+        [dict(blocks=golden["bc7_in"][:24], nbx=6, nby=4, orig_width=24, orig_height=16)]
+    )
+    p = tmp_path / "x.basis"
+    p.write_bytes(buf)
+    pipe = BasisCorpusPipeline("bc7")
+    (res,) = list(pipe.run([p]))
+    expected, _ = transcode_blocks(golden["bc7_in"][:24], "bc7")
+    np.testing.assert_array_equal(res.images[0].data.reshape(-1, 16), expected)
