@@ -338,14 +338,11 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 writer.put(plane_w[i], ofs, bits_i)
                 ofs += bits_i
     else:
-        anchors_before = []
+        from ..tables import fam_bc7_anchors_before_packed
+
+        ab_packed = _take(fam_bc7_anchors_before_packed(fam.name), f.pat)
         for i in range(16):
-            ab = jnp.zeros(shape, I32)
-            for a in bc7_anchor_vals:
-                ab = ab + (a < i).astype(I32)
-            anchors_before.append(ab)
-        for i in range(16):
-            pos = ofs + wb7 * i - anchors_before[i]
+            pos = ofs + wb7 * i - ((ab_packed >> (2 * i)) & 3)
             writer.put_dyn(
                 w[0][i], pos, wb7,
                 bit_range=(ofs + wb7 * i - min(i, nsub7), ofs + wb7 * i),

@@ -166,23 +166,23 @@ def decode_weights(cfg: ModeCfg, lanes, pat):
                 ofs += bits_i
         return weights, anchors
 
-    # Multi-subset: anchor positions depend on the block's pattern.
-    is_anchor = []
-    anchors_before = []
-    for i in range(16):
-        ia = jnp.zeros_like(pat, dtype=bool)
-        ab = jnp.zeros_like(pat)
-        for a in anchors:
-            ia = ia | (a == i)
-            ab = ab + (a < i).astype(I32)
-        is_anchor.append(ia)
-        anchors_before.append(ab)
+    # Multi-subset: anchor positions depend on the block's pattern.  The
+    # per-texel offsets and anchor flags are precomputed per pattern and
+    # fetched with two small-table lookups (tables/fam_* helpers).
+    from ..tables import fam_anchor_mask, fam_weight_offsets_packed, get_family
+
+    fam = get_family(cfg)
+    amask = lut_lookup(fam_anchor_mask(fam.name), pat)
+    offs_words = [
+        lut_lookup(fam_weight_offsets_packed(fam.name, wb, planes)[:, k], pat)
+        for k in range(4)
+    ]
 
     max_anchors = len(anchors)
     for i in range(16):
-        ia = is_anchor[i].astype(I32)
+        ia = (amask >> i) & 1
         bits_i = wb - ia  # dynamic
-        texel_ofs = base + planes * (wb * i) - planes * anchors_before[i]
+        texel_ofs = base + ((offs_words[i // 4] >> (8 * (i % 4))) & 0xFF)
         wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
         # static bounds: anchors_before_i <= min(i, max_anchors), so the
         # dynamic offset spans only a few bits -> 1-2 touched words

@@ -193,6 +193,52 @@ def get_family(mode: ModeCfg) -> PatternFamily | None:
 
 
 @lru_cache(maxsize=None)
+def fam_anchor_mask(fam_name: str) -> np.ndarray:
+    """uint32 [count]: bit i set iff texel i is an anchor of the pattern."""
+    fam = _families()[fam_name]
+    out = np.zeros(fam.count, np.uint32)
+    for p in range(fam.count):
+        for a in fam.anchors[p]:
+            out[p] |= np.uint32(1) << int(a)
+    return out
+
+
+@lru_cache(maxsize=None)
+def fam_weight_offsets_packed(fam_name: str, weight_bits: int, plane_count: int) -> np.ndarray:
+    """uint32 [count, 4]: per-pattern weight bit offsets (relative to the
+    weight section start) of each texel, 8 bits per texel, 4 texels per word.
+
+    offset_i = plane_count * (weight_bits*i - anchors_before_i); anchors are
+    stored with one less bit (uastc.rs:727-740)."""
+    fam = _families()[fam_name]
+    i = np.arange(16)
+    ab = (fam.anchors[:, :, None].astype(np.int64) < i[None, None, :]).sum(1)  # [count,16]
+    offs = plane_count * (weight_bits * i[None, :] - ab)  # [count, 16]
+    assert (offs >= 0).all() and (offs < 256).all()
+    packed = np.zeros((fam.count, 4), np.uint32)
+    for k in range(4):
+        for j in range(4):
+            packed[:, k] |= (offs[:, 4 * k + j].astype(np.uint32)) << (8 * j)
+    return packed
+
+
+@lru_cache(maxsize=None)
+def fam_bc7_anchors_before_packed(fam_name: str) -> np.ndarray:
+    """uint32 [count]: BC7-side anchors_before_i per texel, 2 bits each
+    (anchor texels are written with one less bit; subset-0 anchor is 0)."""
+    fam = _families()[fam_name]
+    i = np.arange(16)
+    nsub = {"2": 2, "3": 3, "23": 3, "m1": 2}[fam_name]
+    anch = fam.bc7_anchors[:, :nsub].astype(np.int64)  # includes a0 = 0
+    ab = (anch[:, :, None] < i[None, None, :]).sum(1)  # [count, 16]
+    assert (ab <= 3).all()
+    packed = np.zeros(fam.count, np.uint32)
+    for t in range(16):
+        packed |= ab[:, t].astype(np.uint32) << (2 * t)
+    return packed
+
+
+@lru_cache(maxsize=None)
 def etc_bias_deltas() -> np.ndarray:
     """[32 bias, 2 subblock, 3 channel] int8 ETC1 bias nudges
     (reference: src/target_formats/etc.rs:203-234)."""
