@@ -78,10 +78,17 @@ def decode_endpoints(cfg: ModeCfg, lanes):
     tq = []
     for base, ofs, width, members in groups:
         g = extract(lanes, ofs, width).astype(I32)
-        div = 1
-        for _ in range(members):
-            tq.append((g // div) % base)
-            div *= base
+        # incremental divmod: one constant-divide per digit, remainder by
+        # multiply-subtract (uastc.rs:634-683 digit order).  After the
+        # divisions the final quotient is < 2*base for every group width, so
+        # its mod reduces to a conditional subtract.
+        for k in range(members):
+            if k == members - 1:
+                tq.append(g - base * (g >= base))
+            else:
+                q = g // base
+                tq.append(g - q * base)
+                g = q
     if not tq:
         tq = [jnp.zeros(lane_shape(lanes), I32)] * e
 
