@@ -76,16 +76,16 @@ def mode_rate(target: str, mode_id: int, lanes_np: np.ndarray):
         return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
     int(chained(xp, 2))
-    int(chained(xp, 66))  # warm both trip counts
+    int(chained(xp, 130))  # warm both trip counts
     samples = []
     for _ in range(3):
         t0 = time.perf_counter()
         int(chained(xp, 2))
         t2 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        int(chained(xp, 66))
-        t66 = time.perf_counter() - t0
-        samples.append((t66 - t2) / 64)
+        int(chained(xp, 130))
+        t130 = time.perf_counter() - t0
+        samples.append((t130 - t2) / 128)
     return max(sorted(samples)[1], 1e-9), n_pad
 
 
@@ -148,16 +148,16 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
         int(chained(epi, seli, 2))
-        int(chained(epi, seli, 66))
+        int(chained(epi, seli, 130))
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             int(chained(epi, seli, 2))
             t2 = time.perf_counter() - t0
             t0 = time.perf_counter()
-            int(chained(epi, seli, 66))
-            t66 = time.perf_counter() - t0
-            samples.append((t66 - t2) / 64)
+            int(chained(epi, seli, 130))
+            t130 = time.perf_counter() - t0
+            samples.append((t130 - t2) / 128)
         rates[kind] = n_pad * 16 / max(sorted(samples)[1], 1e-9)
     return rates
 
