@@ -51,9 +51,17 @@ def transcode_uastc_blocks(blocks, target: str):
 
 
 def _single(data, target: str):
-    out, err = transcode_blocks(_one_block(data), target)
+    block = _one_block(data)
+    out, err = transcode_blocks(block, target)
     if err[0]:
-        raise BasisError(f"invalid UASTC block (target={target})")
+        # distinguish the reference's two block-level failure modes
+        # (uastc.rs:336 "invalid mode index", uastc.rs:364 "block pattern is
+        # not valid")
+        from .ops.dispatch import INVALID_MODE, block_modes
+
+        if block_modes(block)[0] == INVALID_MODE:
+            raise BasisError("invalid mode index")
+        raise BasisError("block pattern is not valid")
     return out[0]
 
 
