@@ -35,32 +35,34 @@ ROWS = 8
 I32 = jnp.int32
 
 
+def _pad_chunks(word: np.ndarray) -> np.ndarray:
+    """Pad a packed 1-D table to a power-of-two number of 128-lane chunks so
+    corpora with varied codebook sizes hit a bounded set of kernel shapes."""
+    chunks = max(1, -(-len(word) // LANE))
+    p2 = 1
+    while p2 < chunks:
+        p2 *= 2
+    out = np.zeros(p2 * LANE, np.uint32)
+    out[: len(word)] = word
+    return out.reshape(-1, LANE)
+
+
 def pack_endpoints_np(endpoints: np.ndarray) -> np.ndarray:
-    """uint8 [E,4] (r5,g5,b5,inten3) -> uint32 [ceil(E/128),128]."""
+    """uint8 [E,4] (r5,g5,b5,inten3) -> uint32 [chunks,128] (chunks = pow2)."""
     e = endpoints.astype(np.uint32)
     word = e[:, 0] | (e[:, 1] << 5) | (e[:, 2] << 10) | (e[:, 3] << 15)
-    pad = (-len(word)) % LANE
-    if pad:
-        word = np.concatenate([word, np.zeros(pad, np.uint32)])
-    return word.reshape(-1, LANE)
+    return _pad_chunks(word)
 
 
 def pack_selectors_np(selectors: np.ndarray) -> np.ndarray:
-    """uint8 [S,4] row bytes -> uint32 [ceil(S/128),128]."""
+    """uint8 [S,4] row bytes -> uint32 [chunks,128] (chunks = pow2)."""
     s = selectors.astype(np.uint32)
     word = s[:, 0] | (s[:, 1] << 8) | (s[:, 2] << 16) | (s[:, 3] << 24)
-    pad = (-len(word)) % LANE
-    if pad:
-        word = np.concatenate([word, np.zeros(pad, np.uint32)])
-    return word.reshape(-1, LANE)
+    return _pad_chunks(word)
 
 
 def pack_wire_np(wire: np.ndarray) -> np.ndarray:
-    pad = (-len(wire)) % LANE
-    w = wire.astype(np.uint32)
-    if pad:
-        w = np.concatenate([w, np.zeros(pad, np.uint32)])
-    return w.reshape(-1, LANE)
+    return _pad_chunks(wire.astype(np.uint32))
 
 
 def _palette(ep_word):
@@ -148,6 +150,12 @@ def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
     n = len(ep_idx_np)
     tile = ROWS * LANE
     n_pad = ((n + tile - 1) // tile) * tile
+    # bucket the padded length to a power of two: per-mip slice sizes vary,
+    # and each distinct shape would otherwise be a fresh Mosaic compile
+    p2 = tile
+    while p2 < n_pad:
+        p2 *= 2
+    n_pad = p2
     ep_idx = np.zeros(n_pad, np.int32)
     ep_idx[:n] = ep_idx_np
     sel_idx = np.zeros(n_pad, np.int32)

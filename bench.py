@@ -28,14 +28,16 @@ import time
 from functools import partial
 from pathlib import Path
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(Path(__file__).parent / ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
-
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache (env vars are ignored after the axon
+# sitecustomize initializes config; use the config API).
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from basisu_rs_tpu.ops.bits import lanes_from_bytes_np
 from basisu_rs_tpu.ops.dispatch import block_modes
