@@ -19,9 +19,6 @@ from ..ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
 from ..ops.dispatch import INVALID_MODE, _REGISTRY, _ensure_registered, _mode_kernel, block_modes
 from ..utils.profiling import Profiler
 
-TARGET_BLOCK_BYTES = {"rgba": 64, "astc": 16, "bc7": 16, "etc1": 8, "etc2": 16}
-
-
 @dataclass
 class TranscodeResult:
     """Device-side result of a batch transcode: per-mode groups + scatter

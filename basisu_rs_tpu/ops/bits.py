@@ -269,7 +269,3 @@ def lut_lookup(table_np, idx):
     loaded = mode[1][table_key(table_np)]  # [chunks, 128] kernel input
     return gather_chunked(loaded, idx)
 
-
-def select_lut(index, table_np):
-    """Deprecated alias for lut_lookup (index-last argument order)."""
-    return lut_lookup(table_np, index)
