@@ -73,32 +73,71 @@ def _fold_add_f32(terms):
     return acc
 
 
+def _unique_err_terms(total_bits: int, packed_xq, d255):
+    """Both p-candidates' f32 error terms, reconstructed arithmetically from
+    the packed quantized values: scaled(x) is integer-exact in f32, t =
+    fl(fl(v/255)*255) comes from the division LUT, and the remaining sub/mul
+    are IEEE-exact on device - bit-identical to the precomputed err_u tables
+    (bc7.rs:506-532 semantics)."""
+    t = d255 * jnp.float32(255.0)
+    terms = []
+    for p in (0, 1):
+        xq_p = (packed_xq >> (8 * p)) & 0xFF
+        x = 2 * xq_p + p
+        if total_bits < 8:
+            s0 = (x << (8 - total_bits)) & 0xFF
+            scaled = s0 | (s0 >> total_bits)
+        else:
+            scaled = x  # u8 wrapping_shr(8) is a no-op (bc7.rs:522)
+        a = scaled.astype(jnp.float32) - t
+        terms.append(a * a)
+    return terms
+
+
 def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     """e_lo/e_hi: [4] lists of int32[N] 0..255.  Returns quantized endpoint
     lists (>>1 values) and (pb_lo, pb_hi) int32[N]."""
-    xq, err_u, _ = pbit_luts(comp_bits + 1)
-    errs = {}
-    for p in (0, 1):
-        errs[p] = (
-            _fold_add_f32([lut_lookup(err_u[p], e_lo[c]) for c in range(total_comps)]),
-            _fold_add_f32([lut_lookup(err_u[p], e_hi[c]) for c in range(total_comps)]),
+    from ..tables.bc7_tables import div255_f32, pbit_xq_packed
+
+    tb = comp_bits + 1
+    xq_tab = pbit_xq_packed(tb)
+    d255_tab = div255_f32()
+
+    packed_lo = [lut_lookup(xq_tab, e_lo[c]) for c in range(4)]
+    packed_hi = [lut_lookup(xq_tab, e_hi[c]) for c in range(4)]
+    terms_lo = [
+        _unique_err_terms(tb, packed_lo[c], lut_lookup(d255_tab, e_lo[c]))
+        for c in range(total_comps)
+    ]
+    terms_hi = [
+        _unique_err_terms(tb, packed_hi[c], lut_lookup(d255_tab, e_hi[c]))
+        for c in range(total_comps)
+    ]
+    errs = {
+        p: (
+            _fold_add_f32([terms_lo[c][p] for c in range(total_comps)]),
+            _fold_add_f32([terms_hi[c][p] for c in range(total_comps)]),
         )
+        for p in (0, 1)
+    }
     pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
     pb_hi = (errs[1][1] < errs[0][1]).astype(I32)
-    q0, q1 = xq[0], xq[1]
     new_lo = [
-        jnp.where(pb_lo == 1, lut_lookup(q1, e_lo[c]), lut_lookup(q0, e_lo[c])).astype(I32)
+        jnp.where(pb_lo == 1, packed_lo[c] >> 8, packed_lo[c] & 0xFF).astype(I32)
         for c in range(4)
     ]
     new_hi = [
-        jnp.where(pb_hi == 1, lut_lookup(q1, e_hi[c]), lut_lookup(q0, e_hi[c])).astype(I32)
+        jnp.where(pb_hi == 1, packed_hi[c] >> 8, packed_hi[c] & 0xFF).astype(I32)
         for c in range(4)
     ]
     return new_lo, new_hi, pb_lo, pb_hi
 
 
 def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
-    xq, _, err_s = pbit_luts(comp_bits + 1)
+    from ..tables.bc7_tables import pbit_xq_packed
+
+    _, _, err_s = pbit_luts(comp_bits + 1)
+    xq_tab = pbit_xq_packed(comp_bits + 1)
     errs = {}
     for p in (0, 1):
         terms = [
@@ -107,13 +146,14 @@ def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
         ]
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
-    q0, q1 = xq[0], xq[1]
+    packed_lo = [lut_lookup(xq_tab, e_lo[c]) for c in range(4)]
+    packed_hi = [lut_lookup(xq_tab, e_hi[c]) for c in range(4)]
     new_lo = [
-        jnp.where(sb == 1, lut_lookup(q1, e_lo[c]), lut_lookup(q0, e_lo[c])).astype(I32)
+        jnp.where(sb == 1, packed_lo[c] >> 8, packed_lo[c] & 0xFF).astype(I32)
         for c in range(4)
     ]
     new_hi = [
-        jnp.where(sb == 1, lut_lookup(q1, e_hi[c]), lut_lookup(q0, e_hi[c])).astype(I32)
+        jnp.where(sb == 1, packed_hi[c] >> 8, packed_hi[c] & 0xFF).astype(I32)
         for c in range(4)
     ]
     return new_lo, new_hi, sb, sb
