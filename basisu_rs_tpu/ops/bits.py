@@ -60,7 +60,7 @@ def bytes_from_lanes_np(lanes):
     out = np.empty(lanes.shape + (4,), np.uint8)
     for k in range(4):
         out[..., k] = (lanes >> (8 * k)) & 0xFF
-    return out.reshape(lanes.shape[0], -1)
+    return out.reshape(lanes.shape[0], 4 * lanes.shape[1])
 
 
 def extract(lanes, offset: int, count: int):

@@ -5,18 +5,33 @@ are independent; no cross-chip collectives are required by the math), so the
 mesh is 1-D and inputs shard over the block axis.  Collectives appear only in
 aggregation (global error counts / texel statistics), which ride ICI via
 psum inside shard_map.
+
+Two sharded paths:
+
+  - `sharded_transcode` (production): host mode-partitioning + per-mode
+    kernels (Pallas on TPU, XLA lane fns on CPU meshes) inside shard_map.
+    Each block runs exactly one mode's arithmetic — this is the reference's
+    hot loop (src/uastc.rs:157-165) parallelized without redundancy.
+  - `sharded_transcode_step` (all-modes): a single static graph computing all
+    19 modes and selecting; kept for tiny batches and single-jit entry points.
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.dispatch import transcode_all_modes_fn
+from ..ops.dispatch import (
+    INVALID_MODE,
+    _bucket,
+    _mode_kernel,
+    block_modes,
+    transcode_all_modes_fn,
+)
 
 BLOCK_AXIS = "blocks"
 
@@ -66,3 +81,95 @@ def shard_blocks(lanes: np.ndarray, mesh: Mesh) -> jax.Array:
         lanes = np.concatenate([lanes, np.zeros((pad, lanes.shape[1]), lanes.dtype)], axis=0)
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
     return jax.device_put(jnp.asarray(lanes), sharding)
+
+
+# ---------------------------------------------------------------------------
+# Production path: per-mode kernels sharded over the mesh
+# ---------------------------------------------------------------------------
+
+
+def mesh_backend(mesh: Mesh) -> str:
+    """Kernel backend for this mesh's devices: Pallas on TPU (vectorized VMEM
+    gathers), XLA lane fns elsewhere (CPU meshes / dry runs)."""
+    platform = mesh.devices.flat[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+@lru_cache(maxsize=None)
+def _sharded_mode_step_cached(target: str, mode_id: int, mesh: Mesh, backend: str):
+    kernel = _mode_kernel(target, mode_id, backend)
+
+    def step(lanes):
+        out, err = kernel(lanes)
+        total_err = jax.lax.psum(jnp.sum(err.astype(jnp.int32)), BLOCK_AXIS)
+        return out, err, total_err
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=P(BLOCK_AXIS, None),
+        out_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS), P()),
+        # pallas_call outputs carry no vma metadata; the specs above are
+        # exact (everything varies over the block axis except the psum).
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def sharded_mode_step(target: str, mode_id: int, mesh: Mesh, backend: str | None = None):
+    """A jitted, mesh-sharded *single-mode* transcode step.
+
+    lanes uint32[N, 4] (N divisible by mesh size, all blocks of `mode_id`) ->
+    (out lanes uint32[N, W], err bool[N], global error count).  Per-shard
+    compute is the mode-specialized kernel (Pallas on TPU), so there is no
+    all-modes redundancy; the error count is a psum riding ICI.
+    """
+    return _sharded_mode_step_cached(target, mode_id, mesh, backend or mesh_backend(mesh))
+
+
+def sharded_transcode(blocks_u8, target: str, mesh: Mesh, backend: str | None = None):
+    """Production multi-chip batch transcode: numpy uint8 [N,16] -> (out, err).
+
+    Host partitions blocks by UASTC mode (cheap numpy pass over byte 0), each
+    mode group is padded to a power-of-two bucket per shard, sharded over the
+    mesh block axis, and run through its mode-specialized kernel inside
+    shard_map.  Results scatter back into original block order.  Output dtype
+    rules match ops.dispatch.transcode_blocks.
+    """
+    from ..ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
+    from ..ops.dispatch import _REGISTRY, _ensure_registered
+
+    _ensure_registered()
+    _, out_words = _REGISTRY[target]
+    backend = backend or mesh_backend(mesh)
+    n_dev = mesh.devices.size
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+
+    blocks_u8 = np.ascontiguousarray(blocks_u8, np.uint8).reshape(-1, 16)
+    n = blocks_u8.shape[0]
+    modes = block_modes(blocks_u8)
+    lanes = lanes_from_bytes_np(blocks_u8, 4)
+
+    out = np.zeros((n, out_words), np.uint32)
+    err = modes == INVALID_MODE
+
+    pending = []
+    for mode_id in np.unique(modes):
+        if mode_id == INVALID_MODE:
+            continue
+        idx = np.nonzero(modes == mode_id)[0]
+        m = len(idx)
+        padded = n_dev * _bucket(-(-m // n_dev))
+        group = np.zeros((padded, 4), np.uint32)
+        group[:m] = lanes[idx]
+        step = sharded_mode_step(target, int(mode_id), mesh, backend)
+        o, e, _ = step(jax.device_put(jnp.asarray(group), sharding))
+        pending.append((idx, m, o, e))
+
+    for idx, m, o, e in pending:
+        out[idx] = np.asarray(o)[:m]
+        err[idx] |= np.asarray(e)[:m]
+
+    if target == "rgba":
+        return out, err
+    return bytes_from_lanes_np(out), err

@@ -107,6 +107,78 @@ def bench_target(target: str, blocks: np.ndarray) -> float:
     return total_blocks * 16 / total_s
 
 
+def mode_rate_sharded(target: str, mode_id: int, lanes_np: np.ndarray, mesh):
+    """Per-iteration seconds for this mode group through the *sharded*
+    per-mode Pallas step: each shard runs its own dependency-chained loop,
+    then a psum forces cross-chip completion."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from basisu_rs_tpu.parallel.mesh import BLOCK_AXIS
+
+    n_dev = mesh.devices.size
+    n = lanes_np.shape[0]
+    build, tables, _ = _pallas_build(target, mode_id, ROWS)
+    tile = ROWS * LANE * n_dev
+    n_pad = ((n + tile - 1) // tile) * tile
+    xp = jnp.zeros((n_pad, 4), jnp.uint32).at[:n].set(jnp.asarray(lanes_np))
+    xp = jax.device_put(xp, NamedSharding(mesh, P(BLOCK_AXIS, None)))
+    call = build(n_pad // n_dev // LANE)
+
+    def per_shard(x, reps):
+        def body(i, c):
+            planes = [(x[:, w] ^ c).reshape(-1, LANE) for w in range(4)]
+            outs = call(*planes, *tables)
+            return outs[0][0, 0]
+
+        r = jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+        return jax.lax.psum(r, BLOCK_AXIS)
+
+    @partial(jax.jit, static_argnums=1)
+    def chained(x, reps):
+        return jax.shard_map(
+            partial(per_shard, reps=reps),
+            mesh=mesh,
+            in_specs=P(BLOCK_AXIS, None),
+            out_specs=P(),
+            check_vma=False,
+        )(x)
+
+    int(chained(xp, 2))
+    int(chained(xp, 130))
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        int(chained(xp, 2))
+        t2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        int(chained(xp, 130))
+        t130 = time.perf_counter() - t0
+        samples.append((t130 - t2) / 128)
+    return max(sorted(samples)[1], 1e-9), n_pad
+
+
+def bench_target_sharded(target: str, blocks: np.ndarray) -> float:
+    """Aggregate rate through the production sharded step (mesh over all
+    locally attached chips; on one chip this demonstrates per-chip parity of
+    the sharded path with the plain Pallas path)."""
+    from basisu_rs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    modes = block_modes(blocks)
+    lanes = lanes_from_bytes_np(blocks, 4)
+    total_s = 0.0
+    total_blocks = 0
+    for mode_id in np.unique(modes):
+        if mode_id == 19:
+            continue
+        idx = np.nonzero(modes == mode_id)[0]
+        per, n_pad = mode_rate_sharded(target, int(mode_id), lanes[idx], mesh)
+        total_s += per
+        total_blocks += n_pad
+        log(f"  sharded {target} mode {mode_id:2d}: {n_pad/per/1e6:7.1f} Mblocks/s")
+    return total_blocks * 16 / total_s
+
+
 def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     """ETC1S back-end rates (BASELINE configs 2 and 4): codebook gather +
     palette kernels over a synthetic codebook/index stream."""
@@ -171,6 +243,13 @@ def main() -> None:
 
     rate = bench_target("bc7", blocks)
     log(f"UASTC->BC7 aggregate: {rate/1e9:.2f} Gtexels/s")
+
+    if os.environ.get("BENCH_SHARDED") or os.environ.get("BENCH_ALL"):
+        srate = bench_target_sharded("bc7", blocks)
+        log(
+            f"UASTC->BC7 aggregate (sharded per-mode step, {len(jax.devices())} chip(s)): "
+            f"{srate/1e9:.2f} Gtexels/s ({srate/rate*100:.0f}% of plain path)"
+        )
 
     if os.environ.get("BENCH_ALL"):
         for target in ("rgba", "astc", "etc1", "etc2"):

@@ -1,13 +1,20 @@
-"""Multi-chip sharding: the sharded transcode step on a virtual 8-device CPU
+"""Multi-chip sharding: the sharded transcode paths on a virtual 8-device CPU
 mesh must agree bit-for-bit with the single-device path."""
 
 import numpy as np
 
 import jax
+import pytest
 
 from basisu_rs_tpu.ops import transcode_blocks
 from basisu_rs_tpu.ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
-from basisu_rs_tpu.parallel.mesh import make_mesh, shard_blocks, sharded_transcode_step
+from basisu_rs_tpu.parallel.mesh import (
+    make_mesh,
+    shard_blocks,
+    sharded_mode_step,
+    sharded_transcode,
+    sharded_transcode_step,
+)
 
 
 def test_sharded_step_matches_single_device(golden):
@@ -24,6 +31,64 @@ def test_sharded_step_matches_single_device(golden):
     assert not err.any()
     got = bytes_from_lanes_np(np.asarray(out)[: len(blocks)])
     np.testing.assert_array_equal(got, expected)
+
+
+@pytest.mark.parametrize("target", ["bc7", "rgba", "astc", "etc1", "etc2"])
+def test_sharded_mode_transcode_matches_single_device(golden, target):
+    """Production path: per-mode kernels inside shard_map, bit-parity with the
+    single-device partitioned path over the full golden mode mix."""
+    mesh = make_mesh(8)
+    blocks = golden[f"{target}_in"]
+    out, err = sharded_transcode(blocks, target, mesh)
+    assert not err.any()
+    expected, err1 = transcode_blocks(blocks, target)
+    assert not err1.any()
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_sharded_mode_transcode_flags_invalid_blocks(golden):
+    mesh = make_mesh(8)
+    blocks = golden["rgba_in"][:64].copy()
+    blocks[5, 0] = 69  # MODE_LUT entry 19 -> invalid mode
+    out, err = sharded_transcode(blocks, "rgba", mesh)
+    assert err.sum() == 1 and err[5]
+
+
+def test_sharded_mode_step_pallas_interpret_composes(golden):
+    """Pallas kernels compose with shard_map: interpret mode on the CPU mesh
+    (on TPU hardware the same composition lowers via Mosaic)."""
+    from basisu_rs_tpu.ops.dispatch import block_modes
+    from basisu_rs_tpu.ops.pallas_kernels import pallas_mode_kernel
+
+    mesh = make_mesh(8)
+    modes = block_modes(golden["bc7_in"])
+    idx = np.nonzero(modes == 0)[0][:8]
+    blocks = np.tile(golden["bc7_in"][idx], (2, 1))  # 16 blocks, 2/shard
+    lanes = lanes_from_bytes_np(blocks, 4)
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    kernel = pallas_mode_kernel("bc7", 0, rows=8, interpret=True)
+
+    def step(x):
+        out, err = kernel(x)
+        return out, err
+
+    sharded = jax.jit(
+        jax.shard_map(
+            step,
+            mesh=mesh,
+            in_specs=P("blocks", None),
+            out_specs=(P("blocks", None), P("blocks")),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+    )
+    x = jax.device_put(jnp.asarray(lanes), NamedSharding(mesh, P("blocks", None)))
+    out, err = sharded(x)
+    assert not np.asarray(err).any()
+    expected = np.tile(golden["bc7_out"][idx], (2, 1))
+    np.testing.assert_array_equal(bytes_from_lanes_np(np.asarray(out)), expected)
 
 
 def test_sharded_step_counts_errors(golden):
