@@ -32,6 +32,19 @@ class Image:
     stride: int
     data: np.ndarray
 
+    def into_rgba_bytes(self) -> "Image":
+        """Image of packed RGBA u32 texel words -> Image of RGBA bytes
+        (reference: Image<Color32>::into_rgba_bytes, src/lib.rs:70-79).
+
+        The container-level `read_to_rgba` already yields byte images; this
+        accessor covers block-level results (uint32 words from
+        `unpack_uastc_block_to_rgba` / batch 'rgba' output).  Byte images
+        pass through unchanged."""
+        if self.data.dtype == np.uint8:
+            return self
+        data = np.ascontiguousarray(self.data.astype("<u4")).view(np.uint8).reshape(-1)
+        return Image(w=self.w, h=self.h, stride=self.stride * 4, data=data)
+
 
 def _one_block(data) -> np.ndarray:
     arr = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else data

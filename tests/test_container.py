@@ -185,3 +185,54 @@ def test_etc1s_file_with_alpha(etc1s_setup):
     expected = (rgb & 0x00FFFFFF) | (((alpha >> 8) & 0xFF) << 24)  # G -> A
     got = images[0].data.view("<u4").reshape(-1)
     np.testing.assert_array_equal(got, _blocks_to_image_words(expected, nbx))
+
+
+def test_etc1s_rgba_stride_is_true_buffer_stride(etc1s_setup):
+    """COMPAT.md item 2: we report the decoded buffer's true byte stride
+    (4*4*num_blocks_x); the reference reports 4*orig_width (basis.rs:46),
+    which disagrees with its own buffer for non-block-aligned widths."""
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=nbx * 4 - 3, orig_height=nby * 4)],  # non-aligned w
+    )
+    _, images = read_to_rgba(buf)
+    img = images[0]
+    assert img.w == nbx * 4 - 3
+    assert img.stride == 4 * 4 * nbx  # true buffer stride, not 4*orig_width
+    assert img.data.size == img.stride * nby * 4
+
+
+def test_etc1s_unsupported_targets_raise(etc1s_setup):
+    """COMPAT.md item 3: ETC1S->{ETC2,ASTC,BC7,UASTC} are unimplemented!()
+    panics in the reference (basis.rs:141,171,200,229,258); here they raise
+    a catchable BasisError with the shared unsupported-format message."""
+    from basisu_rs_tpu.container.basis import read_to_astc, read_to_etc2, read_to_uastc
+
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    buf = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=nbx * 4, orig_height=nby * 4)],
+    )
+    for fn in (read_to_etc2, read_to_astc, read_to_bc7, read_to_uastc):
+        with pytest.raises(BasisError, match="unsupported texture format"):
+            fn(buf)
+
+
+def test_image_into_rgba_bytes(golden):
+    """Image::into_rgba_bytes parity (reference: src/lib.rs:70-79)."""
+    from basisu_rs_tpu.api import Image, transcode_uastc_blocks
+
+    blocks = golden["rgba_in"][:4]
+    texels, err = transcode_uastc_blocks(blocks, "rgba")
+    assert not err.any()
+    img = Image(w=8, h=8, stride=8, data=texels.reshape(-1))
+    b = img.into_rgba_bytes()
+    assert (b.w, b.h, b.stride) == (8, 8, 32)
+    assert b.data.dtype == np.uint8
+    np.testing.assert_array_equal(
+        b.data, texels.reshape(-1).astype("<u4").view(np.uint8)
+    )
+    assert b.into_rgba_bytes() is b  # byte images pass through
