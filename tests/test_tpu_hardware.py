@@ -1,0 +1,71 @@
+"""On-hardware Pallas parity: the full 5x19 kernel matrix compiled via
+Mosaic on a real TPU chip, checked bit-exact against the golden corpus.
+
+Skipped under the hermetic CPU suite; run with
+
+    BASISU_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
+
+(the env var stops conftest.py from forcing the CPU backend).  This is the
+reproducible form of the round-1 on-hardware verification.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+requires_tpu = pytest.mark.skipif(
+    not os.environ.get("BASISU_TPU_TESTS"),
+    reason="on-hardware test; set BASISU_TPU_TESTS=1 with a TPU attached",
+)
+
+TARGETS = ("bc7", "rgba", "astc", "etc1", "etc2")
+
+
+@requires_tpu
+def test_backend_is_tpu():
+    import jax
+
+    assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+
+
+@requires_tpu
+@pytest.mark.parametrize("target", TARGETS)
+def test_pallas_tpu_matches_golden_all_modes(golden, target):
+    """All 19 modes per target in one test (one device round-trip per mode
+    group keeps wall-clock sane over the tunnel)."""
+    from basisu_rs_tpu.ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
+    from basisu_rs_tpu.ops.dispatch import block_modes
+    from basisu_rs_tpu.ops.pallas_kernels import pallas_mode_kernel
+
+    blocks = golden[f"{target}_in"]
+    expected = golden[f"{target}_out"]
+    modes = block_modes(blocks)
+    for mode in range(19):
+        idx = np.nonzero(modes == mode)[0]
+        assert len(idx) > 0
+        lanes = lanes_from_bytes_np(blocks[idx], 4)
+        out, err = pallas_mode_kernel(target, mode)(lanes)
+        assert not np.asarray(err).any(), f"mode {mode}"
+        out = np.asarray(out)
+        if target == "rgba":
+            np.testing.assert_array_equal(out, expected[idx], err_msg=f"mode {mode}")
+        else:
+            np.testing.assert_array_equal(
+                bytes_from_lanes_np(out), expected[idx], err_msg=f"mode {mode}"
+            )
+
+
+@requires_tpu
+def test_sharded_mode_step_on_tpu(golden):
+    """The production sharded step (pallas inside shard_map) on the attached
+    chip(s): bit parity with the host-partitioned path."""
+    from basisu_rs_tpu.ops.dispatch import transcode_blocks
+    from basisu_rs_tpu.parallel.mesh import make_mesh, sharded_transcode
+
+    mesh = make_mesh()
+    blocks = golden["bc7_in"]
+    out, err = sharded_transcode(blocks, "bc7", mesh)
+    assert not err.any()
+    expected, _ = transcode_blocks(blocks, "bc7")
+    np.testing.assert_array_equal(out, expected)
