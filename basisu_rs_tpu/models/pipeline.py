@@ -90,7 +90,9 @@ class BasisCorpusPipeline:
                     continue
                 path, buf, header = item
                 try:
-                    with self.profiler.stage("device/transcode"):
+                    # read_to_* spans host container parse + (for ETC1S) the
+                    # entropy front-end + device kernels; label it honestly.
+                    with self.profiler.stage("file/transcode"):
                         result = reader(buf)
                     images = result[1] if self.target == "rgba" else result
                     texels = sum(int(i.w) * int(i.h) for i in images)

@@ -3,18 +3,20 @@
 The workload has no cross-chip math (SURVEY.md section 5: slices and blocks
 are independent), so the multi-host story is pure work distribution: each
 host process takes a deterministic shard of the corpus file list over DCN-free
-local I/O, transcodes on its local chips, and (optionally) all-gathers only
-scalar statistics.  This module provides the minimal pieces:
+local I/O, transcodes on its local chips, and all-gathers only scalar
+statistics.  This module provides the minimal pieces:
 
   - `initialize()`: jax.distributed bootstrap (no-op on a single host)
   - `shard_corpus(paths)`: deterministic per-process file assignment
-  - `global_stats(...)`: psum'd texel/error counters across all hosts
+  - `global_stats(...)`: texel/error counters summed across all hosts
+
+Exercised by tests/test_multihost.py, including a real 2-process
+jax.distributed run over the CPU backend.
 """
 
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -39,24 +41,25 @@ def shard_corpus(paths: list) -> list:
     return [p for i, p in enumerate(paths) if i % n == pid]
 
 
-def global_stats(local_texels: int, local_errors: int):
-    """All-reduce scalar counters across every chip/host.  Uses a psum over
-    all devices; on one host this degenerates to a local sum."""
-    devices = np.array(jax.devices())
-    mesh = jax.sharding.Mesh(devices, ("d",))
+def global_stats(local_texels: int, local_errors: int) -> tuple[int, int]:
+    """Sum scalar counters across every host process.
 
-    def reduce_fn(x):
-        return jax.lax.psum(x, "d")
+    Counters travel as 31-bit int32 limbs (jax downcasts int64 arrays when
+    x64 is off - the previous psum wrapped at 2.1e9 texels, about 50 ms of
+    work at bench rates) and are recombined in arbitrary-precision Python
+    ints, so counts are exact up to 2^62.  Single-process calls never touch
+    the device."""
+    if jax.process_count() == 1:
+        return int(local_texels), int(local_errors)
+    from jax.experimental import multihost_utils
 
-    fn = jax.jit(
-        jax.shard_map(
-            reduce_fn,
-            mesh=mesh,
-            in_specs=jax.sharding.PartitionSpec("d"),
-            out_specs=jax.sharding.PartitionSpec(),
-        )
+    limbs = np.array(
+        [v for c in (local_texels, local_errors) for v in (c & 0x7FFFFFFF, c >> 31)],
+        np.int32,
     )
-    arr = jnp.zeros((len(devices), 2), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32)
-    arr = arr.at[0, 0].set(local_texels).at[0, 1].set(local_errors)
-    out = fn(arr)  # [1, 2] (per-shard rows reduced)
-    return int(out[0, 0]), int(out[0, 1])
+    gathered = np.asarray(multihost_utils.process_allgather(limbs)).reshape(-1, 4)
+    totals = [0, 0]
+    for row in gathered:
+        totals[0] += int(row[0]) + (int(row[1]) << 31)
+        totals[1] += int(row[2]) + (int(row[3]) << 31)
+    return totals[0], totals[1]
