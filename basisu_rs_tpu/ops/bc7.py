@@ -61,7 +61,16 @@ def remap_weight_to_bc7(w, uastc_bits: int, bc7_bits: int):
 
 
 # ---------------------------------------------------------------------------
-# p-bit determination (bc7.rs:408-553), bit-exact via f32 term LUTs
+# p-bit determination (bc7.rs:408-553)
+#
+# Unique p-bits run in PURE int32: the reference's f32 error terms are
+# (scaled - fl(fl(v/255)*255))^2, and fl(fl(v/255)*255) == v exactly for every
+# v in 0..255 (IEEE single; exhaustively pinned by
+# tests/test_tables.py::test_pbit_unique_error_terms_are_integers), so each
+# term is an integer <= 255^2 and partial sums of <= 4 terms stay below 2^24 -
+# the f32 fold is bit-equivalent to integer arithmetic.  Shared p-bits keep
+# the IEEE-f32 term LUTs: their terms divide scaled/255 (bc7.rs:444), which
+# does NOT collapse to integers.
 # ---------------------------------------------------------------------------
 
 
@@ -73,71 +82,72 @@ def _fold_add_f32(terms):
     return acc
 
 
-def _unique_err_terms(total_bits: int, packed_xq, d255):
-    """Both p-candidates' f32 error terms, reconstructed arithmetically from
-    the packed quantized values: scaled(x) is integer-exact in f32, t =
-    fl(fl(v/255)*255) comes from the division LUT, and the remaining sub/mul
-    are IEEE-exact on device - bit-identical to the precomputed err_u tables
-    (bc7.rs:506-532 semantics)."""
-    t = d255 * jnp.float32(255.0)
-    terms = []
-    for p in (0, 1):
-        xq_p = (packed_xq >> (8 * p)) & 0xFF
-        x = 2 * xq_p + p
-        if total_bits < 8:
-            s0 = (x << (8 - total_bits)) & 0xFF
-            scaled = s0 | (s0 >> total_bits)
-        else:
-            scaled = x  # u8 wrapping_shr(8) is a no-op (bc7.rs:522)
-        a = scaled.astype(jnp.float32) - t
-        terms.append(a * a)
-    return terms
+def _xq_pair(total_bits: int, e):
+    """Both p-candidates' quantized x values for endpoint byte e, gather-free.
+
+    The reference's f32 quantization x = clamp(trunc((fl(e/255)*scalep - p)/2
+    + 0.5)*2 + p, ...) (bc7.rs:437-441, 506-516) is exactly x = clamp(
+    2*floor((e*iscalep + 255 - 255p)/510) + p, p, iscalep-1+p) for every
+    (total_bits, p, e) - pinned exhaustively by tests/test_tables.py.
+    floor(n/510) = floor((n>>1)/255) = ((n>>1)*32897)>>23 for n <= 65280
+    (int31-safe), so the whole search is a handful of ALU ops with no table
+    lookups - gathers are the expensive op on the VPU."""
+    iscalep = mask(total_bits)
+    n0 = e * iscalep + 255
+    q0 = (((n0 >> 1) * 32897) >> 23).astype(I32)
+    q1 = ((((n0 - 255) >> 1) * 32897) >> 23).astype(I32)
+    x0 = jnp.minimum(2 * q0, iscalep - 1)
+    x1 = jnp.minimum(2 * q1 + 1, iscalep)
+    return x0, x1
+
+
+def _scaled(total_bits: int, x):
+    if total_bits < 8:
+        s0 = (x << (8 - total_bits)) & 0xFF
+        return s0 | (s0 >> total_bits)
+    return x  # u8 wrapping_shr(8) is a no-op (bc7.rs:522)
+
+
+def _select_quantized(xpairs, pb, total_comps):
+    sel = [
+        (jnp.where(pb == 1, xpairs[c][1], xpairs[c][0]) >> 1).astype(I32)
+        for c in range(total_comps)
+    ]
+    # untouched channels are never emitted (emission loops over cc only)
+    return sel + [jnp.zeros_like(sel[0])] * (4 - total_comps)
 
 
 def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     """e_lo/e_hi: [4] lists of int32[N] 0..255.  Returns quantized endpoint
-    lists (>>1 values) and (pb_lo, pb_hi) int32[N]."""
-    from ..tables.bc7_tables import div255_f32, pbit_xq_packed
-
+    lists (>>1 values) and (pb_lo, pb_hi) int32[N].  Entirely gather-free
+    integer arithmetic (see _xq_pair and the module note)."""
     tb = comp_bits + 1
-    xq_tab = pbit_xq_packed(tb)
-    d255_tab = div255_f32()
-
-    packed_lo = [lut_lookup(xq_tab, e_lo[c]) for c in range(4)]
-    packed_hi = [lut_lookup(xq_tab, e_hi[c]) for c in range(4)]
-    terms_lo = [
-        _unique_err_terms(tb, packed_lo[c], lut_lookup(d255_tab, e_lo[c]))
-        for c in range(total_comps)
-    ]
-    terms_hi = [
-        _unique_err_terms(tb, packed_hi[c], lut_lookup(d255_tab, e_hi[c]))
-        for c in range(total_comps)
-    ]
-    errs = {
-        p: (
-            _fold_add_f32([terms_lo[c][p] for c in range(total_comps)]),
-            _fold_add_f32([terms_hi[c][p] for c in range(total_comps)]),
-        )
-        for p in (0, 1)
-    }
+    x_lo = [_xq_pair(tb, e_lo[c]) for c in range(total_comps)]
+    x_hi = [_xq_pair(tb, e_hi[c]) for c in range(total_comps)]
+    errs = {}
+    for p in (0, 1):
+        el = eh = 0
+        for c in range(total_comps):
+            a = _scaled(tb, x_lo[c][p]) - e_lo[c]
+            el = el + a * a
+            b = _scaled(tb, x_hi[c][p]) - e_hi[c]
+            eh = eh + b * b
+        errs[p] = (el, eh)
     pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
     pb_hi = (errs[1][1] < errs[0][1]).astype(I32)
-    new_lo = [
-        jnp.where(pb_lo == 1, packed_lo[c] >> 8, packed_lo[c] & 0xFF).astype(I32)
-        for c in range(4)
-    ]
-    new_hi = [
-        jnp.where(pb_hi == 1, packed_hi[c] >> 8, packed_hi[c] & 0xFF).astype(I32)
-        for c in range(4)
-    ]
-    return new_lo, new_hi, pb_lo, pb_hi
+    return (
+        _select_quantized(x_lo, pb_lo, total_comps),
+        _select_quantized(x_hi, pb_hi, total_comps),
+        pb_lo,
+        pb_hi,
+    )
 
 
 def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
-    from ..tables.bc7_tables import pbit_xq_packed
-
+    """Shared p-bits keep the IEEE-f32 error LUTs: their terms divide
+    scaled/255 (bc7.rs:444), which does not collapse to integers; only the
+    quantization itself is gather-free."""
     _, _, err_s = pbit_luts(comp_bits + 1)
-    xq_tab = pbit_xq_packed(comp_bits + 1)
     errs = {}
     for p in (0, 1):
         terms = [
@@ -146,17 +156,14 @@ def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
         ]
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
-    packed_lo = [lut_lookup(xq_tab, e_lo[c]) for c in range(4)]
-    packed_hi = [lut_lookup(xq_tab, e_hi[c]) for c in range(4)]
-    new_lo = [
-        jnp.where(sb == 1, packed_lo[c] >> 8, packed_lo[c] & 0xFF).astype(I32)
-        for c in range(4)
-    ]
-    new_hi = [
-        jnp.where(sb == 1, packed_hi[c] >> 8, packed_hi[c] & 0xFF).astype(I32)
-        for c in range(4)
-    ]
-    return new_lo, new_hi, sb, sb
+    x_lo = [_xq_pair(comp_bits + 1, e_lo[c]) for c in range(total_comps)]
+    x_hi = [_xq_pair(comp_bits + 1, e_hi[c]) for c in range(total_comps)]
+    return (
+        _select_quantized(x_lo, sb, total_comps),
+        _select_quantized(x_hi, sb, total_comps),
+        sb,
+        sb,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -345,12 +352,21 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
             e_lo[j], e_hi[j] = lo, hi
             pb.append((p0, p1))
     else:
+        def scale_ep(e, nbits):
+            # (e*mask + 127) // 255 (bc7.rs:262-272).  mask==255 is the
+            # identity; otherwise n <= 255*127+127 = 32512+127 < 32641, where
+            # floor(n/255) == (n*32897)>>23 in int32 (pinned in test_tables).
+            if nbits == 8:
+                return e
+            n = e * mask(nbits) + 127
+            return ((n * 32897) >> 23).astype(I32)
+
         for j in range(nsub7):
             for c in range(3):
-                e_lo[j][c] = (e_lo[j][c] * mask(bm.color_bits) + 127) // 255
-                e_hi[j][c] = (e_hi[j][c] * mask(bm.color_bits) + 127) // 255
-            e_lo[j][3] = (e_lo[j][3] * mask(bm.alpha_bits) + 127) // 255
-            e_hi[j][3] = (e_hi[j][3] * mask(bm.alpha_bits) + 127) // 255
+                e_lo[j][c] = scale_ep(e_lo[j][c], bm.color_bits)
+                e_hi[j][c] = scale_ep(e_hi[j][c], bm.color_bits)
+            e_lo[j][3] = scale_ep(e_lo[j][3], bm.alpha_bits)
+            e_hi[j][3] = scale_ep(e_hi[j][3], bm.alpha_bits)
 
     # ---- endpoint emission (bc7.rs:276-286) ----
     for c in range(cc):
@@ -378,15 +394,22 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 writer.put(plane_w[i], ofs, bits_i)
                 ofs += bits_i
     else:
-        from ..tables import fam_bc7_anchors_before_packed
+        from ..tables import fam_bc7_anchors_before, fam_bc7_anchors_before_packed
 
+        # Each texel's weight lands inside a STATIC window
+        # [ofs + wb7*i - maxab_i, ofs + wb7*i + wb7): pre-shift the value by
+        # (maxab_i - ab_i) and emit with one static put.  The shifted value's
+        # zero bits outside its true range OR harmlessly into neighbors.
+        ab_tab = fam_bc7_anchors_before(fam.name)  # [count, 16] numpy
         ab_packed = _take(fam_bc7_anchors_before_packed(fam.name), f.pat)
         for i in range(16):
-            pos = ofs + wb7 * i - ((ab_packed >> (2 * i)) & 3)
-            writer.put_dyn(
-                w[0][i], pos, wb7,
-                bit_range=(ofs + wb7 * i - min(i, nsub7), ofs + wb7 * i),
-            )
+            maxab = int(ab_tab[:, i].max())
+            if maxab == 0:
+                writer.put(w[0][i], ofs + wb7 * i, wb7)
+            else:
+                ab = ((ab_packed >> (2 * i)) & 3).astype(U32)
+                val = (w[0][i].astype(U32) & U32(mask(wb7))) << (U32(maxab) - ab)
+                writer.put(val, ofs + wb7 * i - maxab, wb7 + maxab)
         ofs += 16 * wb7 - nsub7
 
     return writer.lanes, f.err

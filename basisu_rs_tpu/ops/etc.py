@@ -11,9 +11,10 @@ block for ETC2.  Also hosts the shared ETC helpers used by the ETC1S backend
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..tables import MODE8_ETC1_FLAGS_OFFSET, MODE8_RGBA_OFFSET, ModeCfg, np_tables
-from .bits import lane_shape, lut_lookup, LaneWriter, U32, extract
+from .bits import lane_shape, lut_lookup, LaneWriter, U32, extract, mask
 from .rgba import uastc_to_rgba_channels
 
 I32 = jnp.int32
@@ -47,20 +48,31 @@ def etc1_palette(base_rgb, inten):
     return colors
 
 
-def selector_wire_bits(sel, pixel_id: int):
-    """Contribution of one texel's 2-bit selector to the 32-bit ETC1 selector
-    word, at static pixel_id (column-major x*4+y; etc.rs:363-393).
+def selector_ms_ls(sel):
+    """ETC1 wire bits of a 2-bit selector, arithmetically (no gather):
+    mod_id = SELECTOR_ID_TO_ETC1[sel] = [3, 2, 0, 1][sel], split into its
+    MSB [1,1,0,0] = !(sel>>1) and LSB [1,0,0,1] = !((sel>>1)^(sel&1))."""
+    hi = (sel >> 1) & 1
+    ms = hi ^ 1
+    ls = (hi ^ sel ^ 1) & 1
+    return ms, ls
+
+
+def selector_wire_bits_from(ms, ls, pixel_id: int):
+    """Place a texel's wire bits in the 32-bit ETC1 selector word at static
+    pixel_id (column-major x*4+y; etc.rs:363-393).
 
     ETC1 wire format: byte0 = MSBs of pixels 8..15, byte1 = MSBs of 0..7,
     byte2/3 = LSBs likewise; bit index = pixel_id % 8."""
-    # mod_id = SELECTOR_ID_TO_ETC1[sel] = [3, 2, 0, 1][sel]
-    mod_id = lut_lookup(np_tables()["SELECTOR_ID_TO_ETC1"], sel)
-    ms = (mod_id >> 1) & 1
-    ls = mod_id & 1
     ms_byte = 1 - pixel_id // 8
     ls_byte = ms_byte + 2
     bit = pixel_id % 8
     return (ms.astype(U32) << (8 * ms_byte + bit)) | (ls.astype(U32) << (8 * ls_byte + bit))
+
+
+def selector_wire_bits(sel, pixel_id: int):
+    ms, ls = selector_ms_ls(sel)
+    return selector_wire_bits_from(ms, ls, pixel_id)
 
 
 # ---------------------------------------------------------------------------
@@ -144,26 +156,30 @@ def write_etc2_alpha_block(etc2tm, texels):
     lane1 = jnp.zeros(shape, U32)
     for i in range(16):
         a = alphas[i]
-        best_d = jnp.full(shape, 1 << 20, I32)
-        best_j = jnp.zeros(shape, I32)
-        for j in range(8):
-            d = jnp.abs(values[j] - a)
-            take_it = d < best_d  # first minimal j wins (Iterator::min_by_key)
-            best_d = jnp.where(take_it, d, best_d)
-            best_j = jnp.where(take_it, j, best_j)
+        # argmin over 8 candidates as a packed min of (distance << 3 | j):
+        # min picks the smallest distance, ties the smallest j - exactly
+        # Iterator::min_by_key's first-minimal semantics (etc.rs:315-323).
+        best = jnp.abs(values[0] - a) << 3
+        for j in range(1, 8):
+            best = jnp.minimum(best, (jnp.abs(values[j] - a) << 3) | j)
+        best_j = best & 7
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x
         s = 45 - pid * 3  # bit position in the big-endian u64
-        for b in range(3):
-            p = s + b
-            # big-endian byte reversal: u64 bit p -> block byte 7 - p//8
-            out_bit = 56 - 8 * (p // 8) + (p % 8)  # absolute LE bit offset
-            bitval = ((best_j >> b) & 1).astype(U32)
+        # big-endian byte reversal: u64 bit p -> block byte 7 - p//8.
+        # The 3 bits are contiguous when they stay in one byte (s%8 <= 5);
+        # otherwise split at the byte boundary.
+        spans = [(s, 3)] if s % 8 <= 5 else [(s, 8 - s % 8), (s + 8 - s % 8, 3 - (8 - s % 8))]
+        taken = 0
+        for p0, nbits in spans:
+            out_bit = 56 - 8 * (p0 // 8) + (p0 % 8)
+            piece = ((best_j >> taken) & mask(nbits)).astype(U32)
             if out_bit < 32:
-                lane0 = lane0 | (bitval << out_bit)
+                lane0 = lane0 | (piece << out_bit)
             else:
-                lane1 = lane1 | (bitval << (out_bit - 32))
+                lane1 = lane1 | (piece << (out_bit - 32))
+            taken += nbits
 
     lane0 = jnp.where(min_a == max_a, solid0_min, lane0)
     lane1 = jnp.where(min_a == max_a, solid1_min, lane1)
@@ -179,10 +195,11 @@ def write_etc2_alpha_block(etc2tm, texels):
 
 def _apply_etc1_bias(color, bias, limit, subblock: int):
     """color: [3] list of int32[N]; bias: int32[N]; limit: int32[N] (15/31)."""
-    deltas_flat = np_tables()["ETC_BIAS_DELTAS"].reshape(-1)
+    deltas = np_tables()["ETC_BIAS_DELTAS"]  # [32, 2, 3]
     out = []
     for c in range(3):
-        delta = lut_lookup(deltas_flat, bias * 6 + subblock * 3 + c)
+        # subblock/channel are static: index a 32-entry (single-chunk) slice
+        delta = lut_lookup(np.ascontiguousarray(deltas[:, subblock, c]), bias)
         v = color[c]
         at_zero = jnp.where(delta == -2, v + 3, v + delta + 1)
         at_limit = v + delta - 1
@@ -219,10 +236,8 @@ def _mode8_etc1_lanes(lanes):
         | (byte2.astype(U32) << 16)
         | (byte3.astype(U32) << 24)
     )
-    sel = lut_lookup(np_tables()["SELECTOR_ID_TO_ETC1"], s)
-    s_lo = (sel & 1).astype(U32)
-    s_hi = (sel >> 1).astype(U32)
-    lane1 = (U32(0xFFFF) * s_hi) | ((U32(0xFFFF) * s_lo) << 16)
+    ms, ls = selector_ms_ls(s)
+    lane1 = (U32(0xFFFF) * ms.astype(U32)) | ((U32(0xFFFF) * ls.astype(U32)) << 16)
     return lane0, lane1
 
 
@@ -306,11 +321,15 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
             y = 2 * sb + (i >> 2)
             pid_flip = x * 4 + y  # set_selector(x, y)
             pid_nof = y * 4 + x  # set_selector(y, x)
-            contrib = jnp.where(
-                etc1f == 1,
-                selector_wire_bits(sel, pid_flip),
-                selector_wire_bits(sel, pid_nof),
-            )
+            ms, ls = selector_ms_ls(sel)
+            if pid_flip == pid_nof:
+                contrib = selector_wire_bits_from(ms, ls, pid_flip)
+            else:
+                contrib = jnp.where(
+                    etc1f == 1,
+                    selector_wire_bits_from(ms, ls, pid_flip),
+                    selector_wire_bits_from(ms, ls, pid_nof),
+                )
             lane1 = lane1 | contrib
     return lane0, lane1
 

@@ -104,7 +104,13 @@ def decode_endpoints(cfg: ModeCfg, lanes):
 
 
 def unquant_endpoint(trit_quint, bits, range_index: int):
-    """Vectorized ASTC endpoint dequantization (reference: uastc.rs:585-614)."""
+    """Vectorized ASTC endpoint dequantization (reference: uastc.rs:585-614).
+
+    Pure-bit ranges use cheap bit replication.  Trit/quint ranges whose
+    (trit_quint, bits) -> value LUT fits one 128-lane Mosaic gather chunk use
+    the LUT; larger ranges keep the scatter/mul/xor arithmetic - measured on
+    TPU, a 2-chunk gather costs more than the ~15 ALU ops it replaces
+    (tools/ab_unquant.py)."""
     rng = BISE_RANGES[range_index]
     if rng.trits == 0 and rng.quints == 0 and rng.bits > 0:
         val = jnp.zeros_like(bits)
@@ -113,6 +119,11 @@ def unquant_endpoint(trit_quint, bits, range_index: int):
             val = val | (bits << sh if sh >= 0 else bits >> -sh)
             sh -= rng.bits
         return val & 0xFF
+    from ..tables.bise import unquant_lut
+
+    lut = unquant_lut(range_index)
+    if len(lut) <= 128:
+        return lut_lookup(lut, (trit_quint << rng.bits) | bits)
     a = (bits & 1) * 511
     b = jnp.zeros_like(bits)
     for out_bit, in_bit in rng.scatter_pairs:
@@ -173,18 +184,52 @@ def decode_weights(cfg: ModeCfg, lanes, pat):
                 ofs += bits_i
         return weights, anchors
 
-    # Multi-subset: anchor positions depend on the block's pattern.  The
-    # per-texel offsets and anchor flags are precomputed per pattern and
-    # fetched with two small-table lookups (tables/fam_* helpers).
-    from ..tables import fam_anchor_mask, fam_weight_offsets_packed, get_family
+    # Multi-subset: anchor positions depend on the block's pattern, shifting
+    # every later texel's offset down by the anchors-before count (0..nsub).
+    # Every multi-subset mode is single-plane, so each texel's wb bits live
+    # inside a STATIC window [base + wb*i - maxab_i, base + wb*i + wb): one
+    # static extract + a tiny variable right-shift replaces the
+    # word-select/funnel-shift chain of a fully dynamic extract.
+    from ..tables import (
+        fam_anchor_mask,
+        fam_anchors_before,
+        fam_anchors_before_packed,
+        fam_weight_offsets_packed,
+        get_family,
+    )
 
     fam = get_family(cfg)
+
+    if planes == 1:
+        ab_tab = fam_anchors_before(fam.name)  # [count, 16] numpy
+        ab_packed = lut_lookup(fam_anchors_before_packed(fam.name), pat)
+        n_anch = fam.anchors.shape[1]
+        for i in range(16):
+            ab = (ab_packed >> (2 * i)) & 3
+            # is-anchor derived from consecutive anchors-before counts -
+            # avoids a separate anchor-mask gather.
+            if i < 15:
+                ia = ((ab_packed >> (2 * i + 2)) & 3) - ab
+            else:
+                ia = n_anch - ab
+            wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
+            maxab = int(ab_tab[:, i].max())
+            if maxab == 0:
+                raw = extract(lanes, base + wb * i, wb).astype(I32)
+            else:
+                win = extract(lanes, base + wb * i - maxab, wb + maxab)
+                raw = ((win >> (U32(maxab) - ab.astype(U32))) & U32(mask(wb))).astype(I32)
+            weights.append(raw & wmask)
+        return weights, anchors
+
     amask = lut_lookup(fam_anchor_mask(fam.name), pat)
+
+    # General dual-plane fallback (no current mode is both multi-subset and
+    # dual-plane; kept for spec completeness): fully dynamic offsets.
     offs_words = [
         lut_lookup(fam_weight_offsets_packed(fam.name, wb, planes)[:, k], pat)
         for k in range(4)
     ]
-
     max_anchors = len(anchors)
     for i in range(16):
         ia = (amask >> i) & 1

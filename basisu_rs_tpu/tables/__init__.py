@@ -204,6 +204,26 @@ def fam_anchor_mask(fam_name: str) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def fam_anchors_before(fam_name: str) -> np.ndarray:
+    """int64 [count, 16]: UASTC-side anchors_before_i per pattern and texel
+    (anchor weights are stored with one less bit, uastc.rs:727-740)."""
+    fam = _families()[fam_name]
+    i = np.arange(16)
+    return (fam.anchors[:, :, None].astype(np.int64) < i[None, None, :]).sum(1)
+
+
+@lru_cache(maxsize=None)
+def fam_anchors_before_packed(fam_name: str) -> np.ndarray:
+    """uint32 [count]: fam_anchors_before packed 2 bits per texel."""
+    ab = fam_anchors_before(fam_name)
+    assert (ab <= 3).all()
+    packed = np.zeros(ab.shape[0], np.uint32)
+    for t in range(16):
+        packed |= ab[:, t].astype(np.uint32) << (2 * t)
+    return packed
+
+
+@lru_cache(maxsize=None)
 def fam_weight_offsets_packed(fam_name: str, weight_bits: int, plane_count: int) -> np.ndarray:
     """uint32 [count, 4]: per-pattern weight bit offsets (relative to the
     weight section start) of each texel, 8 bits per texel, 4 texels per word.
@@ -212,7 +232,7 @@ def fam_weight_offsets_packed(fam_name: str, weight_bits: int, plane_count: int)
     stored with one less bit (uastc.rs:727-740)."""
     fam = _families()[fam_name]
     i = np.arange(16)
-    ab = (fam.anchors[:, :, None].astype(np.int64) < i[None, None, :]).sum(1)  # [count,16]
+    ab = fam_anchors_before(fam_name)  # [count, 16]
     offs = plane_count * (weight_bits * i[None, :] - ab)  # [count, 16]
     assert (offs >= 0).all() and (offs < 256).all()
     packed = np.zeros((fam.count, 4), np.uint32)
@@ -223,16 +243,22 @@ def fam_weight_offsets_packed(fam_name: str, weight_bits: int, plane_count: int)
 
 
 @lru_cache(maxsize=None)
-def fam_bc7_anchors_before_packed(fam_name: str) -> np.ndarray:
-    """uint32 [count]: BC7-side anchors_before_i per texel, 2 bits each
+def fam_bc7_anchors_before(fam_name: str) -> np.ndarray:
+    """int64 [count, 16]: BC7-side anchors_before_i per pattern and texel
     (anchor texels are written with one less bit; subset-0 anchor is 0)."""
     fam = _families()[fam_name]
     i = np.arange(16)
     nsub = {"2": 2, "3": 3, "23": 3, "m1": 2}[fam_name]
     anch = fam.bc7_anchors[:, :nsub].astype(np.int64)  # includes a0 = 0
-    ab = (anch[:, :, None] < i[None, None, :]).sum(1)  # [count, 16]
+    return (anch[:, :, None] < i[None, None, :]).sum(1)  # [count, 16]
+
+
+@lru_cache(maxsize=None)
+def fam_bc7_anchors_before_packed(fam_name: str) -> np.ndarray:
+    """uint32 [count]: fam_bc7_anchors_before packed 2 bits per texel."""
+    ab = fam_bc7_anchors_before(fam_name)
     assert (ab <= 3).all()
-    packed = np.zeros(fam.count, np.uint32)
+    packed = np.zeros(ab.shape[0], np.uint32)
     for t in range(16):
         packed |= ab[:, t].astype(np.uint32) << (2 * t)
     return packed

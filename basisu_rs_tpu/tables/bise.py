@@ -88,3 +88,23 @@ def unquant_endpoint_scalar(trit_quint: int, bits: int, range_index: int) -> int
     val = trit_quint * rng.deq_c + b
     val ^= a
     return (a & 0x80) | (val >> 2)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def unquant_lut(range_index: int):
+    """uint8 LUT for trit/quint dequantization: index = trit_quint << bits |
+    raw_bits.  Tiny (<= 192 entries); lets kernels replace the per-endpoint
+    scatter/mul/xor chain with one small gather."""
+    import numpy as np
+
+    rng = BISE_RANGES[range_index]
+    assert rng.trits or rng.quints
+    base = 3 if rng.trits else 5
+    out = np.zeros(base << rng.bits, np.uint8)
+    for tq in range(base):
+        for b in range(1 << rng.bits):
+            out[(tq << rng.bits) | b] = unquant_endpoint_scalar(tq, b, range_index)
+    return out

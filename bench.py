@@ -59,6 +59,28 @@ def build_batch(n_blocks: int) -> np.ndarray:
     return np.tile(blocks, (reps, 1))[:n_blocks]
 
 
+def _measure_chained(chained, xp, reps_hi: int = 1026, samples: int = 5) -> float:
+    """Per-iteration seconds from a chained fori_loop at two trip counts.
+
+    Robustness against the shared tunnel/chip: (a) the high trip count is
+    large enough that the measured region is tens of ms, dwarfing scheduling
+    bursts; (b) the estimate is min(t_hi) - min(t_lo) - contention only ever
+    ADDS time, so per-trip-count minima are the least contaminated
+    estimates, where a median of per-pair diffs goes negative or collapses
+    whenever a burst lands inside one pair."""
+    int(chained(xp, 2))
+    int(chained(xp, reps_hi))  # warm both trip counts
+    t_lo, t_hi = [], []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        int(chained(xp, 2))
+        t_lo.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        int(chained(xp, reps_hi))
+        t_hi.append(time.perf_counter() - t0)
+    return max((min(t_hi) - min(t_lo)) / (reps_hi - 2), 1e-9)
+
+
 def mode_rate(target: str, mode_id: int, lanes_np: np.ndarray):
     """Per-iteration seconds for this mode group (chained-loop timing)."""
     n = lanes_np.shape[0]
@@ -77,18 +99,7 @@ def mode_rate(target: str, mode_id: int, lanes_np: np.ndarray):
 
         return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
 
-    int(chained(xp, 2))
-    int(chained(xp, 130))  # warm both trip counts
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(chained(xp, 2))
-        t2 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(chained(xp, 130))
-        t130 = time.perf_counter() - t0
-        samples.append((t130 - t2) / 128)
-    return max(sorted(samples)[1], 1e-9), n_pad
+    return _measure_chained(chained, xp), n_pad
 
 
 def bench_target(target: str, blocks: np.ndarray) -> float:
@@ -143,18 +154,7 @@ def mode_rate_sharded(target: str, mode_id: int, lanes_np: np.ndarray, mesh):
             check_vma=False,
         )(x)
 
-    int(chained(xp, 2))
-    int(chained(xp, 130))
-    samples = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        int(chained(xp, 2))
-        t2 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        int(chained(xp, 130))
-        t130 = time.perf_counter() - t0
-        samples.append((t130 - t2) / 128)
-    return max(sorted(samples)[1], 1e-9), n_pad
+    return _measure_chained(chained, xp), n_pad
 
 
 def bench_target_sharded(target: str, blocks: np.ndarray) -> float:
@@ -221,18 +221,9 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
 
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
-        int(chained(epi, seli, 2))
-        int(chained(epi, seli, 130))
-        samples = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            int(chained(epi, seli, 2))
-            t2 = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            int(chained(epi, seli, 130))
-            t130 = time.perf_counter() - t0
-            samples.append((t130 - t2) / 128)
-        rates[kind] = n_pad * 16 / max(sorted(samples)[1], 1e-9)
+        rates[kind] = n_pad * 16 / _measure_chained(
+            lambda x, reps, c=chained: c(epi, seli, reps), epi
+        )
     return rates
 
 

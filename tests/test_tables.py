@@ -145,3 +145,46 @@ def test_crc16_known_answers():
     # CRC-16/GENIBUS check value for "123456789" is 0xD64E
     assert crc16(b"123456789") == 0xD64E
     assert crc16(b"") == 0
+
+
+def test_pbit_unique_error_terms_are_integers():
+    """Exhaustive proof backing the int32 unique-p-bit search (ops/bc7.py):
+    for every total_bits, p and endpoint byte v, the reference's f32 error
+    term (scaled - fl(fl(v/255)*255))^2 equals the integer (scaled - v)^2
+    exactly, and 4-term sums stay below 2^24 (f32-exact range) - so the f32
+    fold is bit-equivalent to integer arithmetic."""
+    import numpy as np
+
+    from basisu_rs_tpu.tables.bc7_tables import pbit_luts, pbit_xq_packed2
+
+    v = np.arange(256)
+    # fl(fl(v/255) * 255) == v exactly (IEEE single)
+    roundtrip = ((v.astype(np.float32) / np.float32(255)) * np.float32(255)).astype(np.float32)
+    np.testing.assert_array_equal(roundtrip, v.astype(np.float32))
+
+    for tb in range(4, 9):
+        xq, err_u, _ = pbit_luts(tb)
+        packed2 = pbit_xq_packed2(tb)
+        for p in (0, 1):
+            x = 2 * xq[p].astype(np.int64) + p
+            if tb < 8:
+                s0 = (x << (8 - tb)) & 0xFF
+                scaled = s0 | (s0 >> tb)
+            else:
+                scaled = x
+            int_term = (scaled - v) ** 2
+            assert (int_term <= 255 * 255).all()  # 4 terms < 2^24
+            np.testing.assert_array_equal(err_u[p], int_term.astype(np.float32))
+            # packed2 halfword extraction reproduces xq
+            word = packed2[v >> 1].astype(np.int64)
+            half = (word >> ((v & 1) << 4)) & 0xFFFF
+            np.testing.assert_array_equal((half >> (8 * p)) & 0xFF, xq[p])
+            # gather-free quantization (ops/bc7.py _xq_pair): the f32
+            # quantization equals clamp(2*floor((v*iscalep+255-255p)/510)+p,
+            # p, iscalep-1+p), with floor(n/510) = ((n>>1)*32897)>>23
+            iscalep = (1 << tb) - 1
+            n = v.astype(np.int64) * iscalep + 255 - 255 * p
+            q = ((n >> 1) * 32897) >> 23
+            assert ((n >> 1) * 32897 < 2**31).all()  # int32-safe on device
+            x_int = np.minimum(2 * q + p, iscalep - 1 + p)
+            np.testing.assert_array_equal(x_int >> 1, xq[p])
