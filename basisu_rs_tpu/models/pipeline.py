@@ -58,10 +58,11 @@ class BasisCorpusPipeline:
 
     # -- host-side stage (runs on worker threads) ---------------------------
     def _parse(self, path):
-        buf = Path(path).read_bytes()
-        header = basis_mod.read_header(buf)
-        if not basis_mod.check_file_checksum(buf, header):
-            raise BasisError("Data CRC16 failed")
+        with self.profiler.stage("host/parse+crc"):
+            buf = Path(path).read_bytes()
+            header = basis_mod.read_header(buf)
+            if not basis_mod.check_file_checksum(buf, header):
+                raise BasisError("Data CRC16 failed")
         return path, buf, header
 
     # -- full pipeline ------------------------------------------------------

@@ -9,9 +9,12 @@ jax.profiler.trace for TensorBoard-compatible dumps).
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
+
+_LOCK = threading.Lock()  # stages may close on pipeline worker threads
 
 
 @dataclass
@@ -41,10 +44,12 @@ class Profiler:
         try:
             yield
         finally:
-            s = self.stats[name]
-            s.calls += 1
-            s.seconds += time.perf_counter() - t0
-            s.texels += texels
+            dt = time.perf_counter() - t0
+            with _LOCK:
+                s = self.stats[name]
+                s.calls += 1
+                s.seconds += dt
+                s.texels += texels
 
     def report(self) -> str:
         lines = []

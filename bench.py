@@ -227,6 +227,68 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     return rates
 
 
+def bench_corpus(n_files: int = 8, nbx: int = 64, nby: int = 64) -> None:
+    """End-to-end file-level pipeline (BasisCorpusPipeline): synthetic mixed
+    corpus on disk -> parse + CRC on worker threads (+ C++ ETC1S front-end)
+    -> device kernels -> host output.
+
+    NB: end-to-end numbers on THIS setup are bounded by the axon tunnel's
+    ~0.3 MB/s device-to-host path (a transport artifact, not a pipeline
+    property; see CLAUDE.md) - the stage table separates the host share."""
+    import tempfile
+    from pathlib import Path as P
+
+    from basisu_rs_tpu.container.writer import write_etc1s_basis, write_uastc_basis
+    from basisu_rs_tpu.models.pipeline import BasisCorpusPipeline
+
+    rng = np.random.default_rng(17)
+    blocks = build_batch(nbx * nby)
+    E, S = 128, 96
+    endpoints = np.zeros((E, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (E, 3))
+    endpoints[:, 3] = rng.integers(0, 8, E)
+    selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
+
+    with tempfile.TemporaryDirectory() as td:
+        uastc_paths, etc1s_paths = [], []
+        for i in range(n_files):
+            p = P(td) / f"u{i}.basis"
+            p.write_bytes(
+                write_uastc_basis(
+                    [dict(blocks=blocks, nbx=nbx, nby=nby, orig_width=nbx * 4, orig_height=nby * 4)]
+                )
+            )
+            uastc_paths.append(p)
+            p = P(td) / f"e{i}.basis"
+            p.write_bytes(
+                write_etc1s_basis(
+                    endpoints, selectors,
+                    [dict(ep_idx=rng.integers(0, E, nbx * nby), sel_idx=rng.integers(0, S, nbx * nby),
+                          nbx=nbx, nby=nby, orig_width=nbx * 4, orig_height=nby * 4)],
+                )
+            )
+            etc1s_paths.append(p)
+
+        for label, target, paths in (
+            ("UASTC->BC7", "bc7", uastc_paths),
+            ("ETC1S->ETC1", "etc1", etc1s_paths),
+        ):
+            pipe = BasisCorpusPipeline(target, workers=min(8, os.cpu_count() or 1))
+            list(pipe.run(paths))  # warm compile + page cache
+            pipe.profiler.stats.clear()
+            t0 = time.perf_counter()
+            results = list(pipe.run(paths))
+            dt = time.perf_counter() - t0
+            assert not pipe.errors, pipe.errors
+            texels = sum(r.texels for r in results)
+            log(
+                f"corpus {label}: {len(results)/dt:6.1f} files/s, "
+                f"{texels/dt/1e6:8.1f} Mtex/s end-to-end (D2H-tunnel-bound here)"
+            )
+            for line in pipe.profiler.report().splitlines():
+                log(f"    {line}")
+
+
 def main() -> None:
     n_chips = len(jax.devices())
     log(f"devices: {[str(d) for d in jax.devices()]}, N={N_BLOCKS} blocks")
@@ -248,6 +310,7 @@ def main() -> None:
             log(f"UASTC->{target.upper()} aggregate: {r/1e9:.2f} Gtexels/s")
         for kind, er in bench_etc1s().items():
             log(f"ETC1S->{kind.upper()}: {er/1e9:.2f} Gtexels/s")
+        bench_corpus()
 
     per_chip_target = TARGET_GTEXELS_V5E8 / 8
     print(

@@ -1,0 +1,86 @@
+"""The C++ ETC1S front-end must parallelize across threads (ctypes releases
+the GIL; the decode handle is read-only during decode_slice, all mutable
+state is per-call local - native/etc1s.cpp:265-300)."""
+
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+native = pytest.importorskip("basisu_rs_tpu.native")
+
+from basisu_rs_tpu.container.basis import read_header, read_slice_descs
+from basisu_rs_tpu.container.writer import write_etc1s_basis_fuzz
+
+
+@pytest.fixture(scope="module")
+def slice_setup():
+    rng = np.random.default_rng(3)
+    e, s = 200, 150
+    endpoints = np.zeros((e, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+    endpoints[:, 3] = rng.integers(0, 8, e)
+    selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+    nbx, nby = 160, 160  # 25.6k blocks ~ 1ms/decode on one core
+    buf, _, _ = write_etc1s_basis_fuzz(endpoints, selectors, nbx, nby, 32, seed=9)
+    h = read_header(buf)
+    desc = read_slice_descs(buf, h)[0]
+    models = native.NativeEtc1sModels(
+        buf[h.tables_file_ofs : h.tables_file_ofs + h.tables_file_size],
+        h.total_endpoints,
+        h.total_selectors,
+        False,
+    )
+    return models, nbx, nby, desc.data(buf)
+
+
+def _task(models, nbx, nby, data, reps=40):
+    for _ in range(reps):
+        ep, sel = models.decode_slice(nbx, nby, data)
+    return ep[0]
+
+
+def test_native_decode_releases_the_gil(slice_setup):
+    """Runs on any core count: while one thread is inside the native call, a
+    pure-Python thread must keep making progress.  If the GIL were held for
+    the call's duration the counter would stay ~0."""
+    import threading
+
+    models, nbx, nby, data = slice_setup
+    _task(models, nbx, nby, data, reps=4)  # warm
+
+    done = threading.Event()
+    count = 0
+
+    def decode():
+        _task(models, nbx, nby, data, reps=200)
+        done.set()
+
+    t = threading.Thread(target=decode)
+    t.start()
+    while not done.is_set():
+        count += 1
+    t.join()
+    assert count > 1000, f"Python thread starved during native decode (count={count})"
+
+
+@pytest.mark.skipif((os.cpu_count() or 1) < 4, reason="needs >= 4 cores")
+def test_native_decode_scales_across_threads(slice_setup):
+    models, nbx, nby, data = slice_setup
+    n_tasks, workers = 8, 4
+    _task(models, nbx, nby, data, reps=4)  # warm (code page-in)
+
+    t0 = time.perf_counter()
+    for _ in range(n_tasks):
+        _task(models, nbx, nby, data)
+    serial = time.perf_counter() - t0
+
+    with ThreadPoolExecutor(workers) as pool:
+        t0 = time.perf_counter()
+        list(pool.map(lambda _: _task(models, nbx, nby, data), range(n_tasks)))
+        parallel = time.perf_counter() - t0
+
+    speedup = serial / parallel
+    assert speedup > 1.5, f"expected >1.5x scaling with {workers} threads, got {speedup:.2f}x"
