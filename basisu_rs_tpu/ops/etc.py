@@ -242,30 +242,42 @@ def _mode8_etc1_lanes(lanes):
 
 
 def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
-    """The 8-byte ETC1 RGB block for non-mode-8 blocks (etc.rs:78-200)."""
+    """The 8-byte ETC1 RGB block for non-mode-8 blocks (etc.rs:78-200).
+
+    The reference transposes the texel grid when !flip (etc.rs:86-95); here
+    the transpose never materializes: subblock sums come from shared 2x2-quad
+    partial sums selected per orientation, and the selector stage reads each
+    texel's luminance through a per-position flip select."""
     shape = lane_shape(lanes)
     etc1f = flags["etc1f"]
     etc1d = flags["etc1d"]
 
-    # optional transpose: !flip -> column-major subblocks (etc.rs:86-95)
-    tex_f = []
-    for i in range(16):
-        tr = (i % 4) * 4 + i // 4
-        tex_f.append(
-            [jnp.where(etc1f == 1, texels[i][c], texels[tr][c]) for c in range(3)]
-        )
-
     limit = jnp.where(etc1d == 1, 31, 15)
 
+    # subblock channel sums via 2x2 quad partial sums (texels are raster
+    # order: i = y*4 + x).  flip=1 subblocks are row pairs, flip=0 column
+    # pairs; both orientations share the quads.
     avgs = []
+    quads = []  # [qy][qx][c]
+    for qy in range(2):
+        row = []
+        for qx in range(2):
+            ids = [(2 * qy + dy) * 4 + 2 * qx + dx for dy in (0, 1) for dx in (0, 1)]
+            row.append(
+                [texels[ids[0]][c] + texels[ids[1]][c] + texels[ids[2]][c] + texels[ids[3]][c]
+                 for c in range(3)]
+            )
+        quads.append(row)
     for sb in range(2):
-        sub = tex_f[sb * 8 : sb * 8 + 8]
         avg = []
         for c in range(3):
-            ssum = sub[0][c]
-            for t in sub[1:]:
-                ssum = ssum + t[c]
-            avg.append((ssum * limit + 1020) // (8 * 255))
+            row_sum = quads[sb][0][c] + quads[sb][1][c]  # flip: row pair sb
+            col_sum = quads[0][sb][c] + quads[1][sb][c]  # !flip: column pair sb
+            ssum = jnp.where(etc1f == 1, row_sum, col_sum)
+            # (sum*limit + 1020) // 2040; numerator <= 64260, where
+            # floor(n/2040) == (n*32897)>>26 exactly (int32-safe) - avoids
+            # XLA's generic integer division sequence
+            avg.append(((ssum * limit + 1020) * 32897) >> 26)
         avgs.append(avg)
 
     if flags["etc1bias"] is not None:
@@ -296,7 +308,16 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
         | (byte3.astype(U32) << 24)
     )
 
-    # selector re-derivation by luminance projection (etc.rs:160-196)
+    # selector re-derivation by luminance projection (etc.rs:160-196).
+    # Luminances are computed once per original texel and routed per
+    # position through a single flip select (instead of per-channel texel
+    # transposition).
+    lums_o = [
+        texels[i][0] * LUM_FACTORS[0]
+        + texels[i][1] * LUM_FACTORS[1]
+        + texels[i][2] * LUM_FACTORS[2]
+        for i in range(16)
+    ]
     lane1 = jnp.zeros(shape, U32)
     for sb, pal in ((0, pal0), (1, pal1)):
         lums = []
@@ -306,12 +327,16 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
                 + pal[k][1] * LUM_FACTORS[1]
                 + pal[k][2] * LUM_FACTORS[2]
             )
-        th01 = (lums[0] + lums[1]) // 2
-        th12 = (lums[1] + lums[2]) // 2
-        th23 = (lums[2] + lums[3]) // 2
+        # palette lums are non-negative (clipped 0..255): //2 is >>1
+        th01 = (lums[0] + lums[1]) >> 1
+        th12 = (lums[1] + lums[2]) >> 1
+        th23 = (lums[2] + lums[3]) >> 1
         for i in range(8):
-            px = tex_f[sb * 8 + i]
-            lum = px[0] * LUM_FACTORS[0] + px[1] * LUM_FACTORS[1] + px[2] * LUM_FACTORS[2]
+            pos = sb * 8 + i
+            tr = (pos % 4) * 4 + pos // 4
+            lum = lums_o[pos] if pos == tr else jnp.where(
+                etc1f == 1, lums_o[pos], lums_o[tr]
+            )
             sel = (
                 (lum >= th01).astype(I32)
                 + (lum >= th12).astype(I32)

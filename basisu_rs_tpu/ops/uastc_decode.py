@@ -265,11 +265,14 @@ def unquant_weight(w, weight_bits: int):
 
 def astc_interpolate(l, h, w):
     """Fixed-point ASTC interpolation, srgb=false path (uastc.rs:218-235).
-    l, h: 0..255 int32; w: 0..64 int32."""
-    l16 = l * 257
-    h16 = h * 257
-    k = (l16 * (64 - w) + h16 * w + 32) >> 6
-    return k >> 8
+    l, h: 0..255 int32; w: 0..64 int32.
+
+    The reference computes ((l*257)*(64-w) + (h*257)*w + 32) >> 14.  With
+    m = l*64 + (h-l)*w (in [0, 16320]) this equals (m*4112 + 514) >> 18
+    exactly (exhaustively pinned in test_tables), and 4112 = 2^12 + 2^4 is
+    two shifts - one variable multiply per channel instead of two."""
+    m = (l << 6) + (h - l) * w
+    return ((m << 12) + (m << 4) + 514) >> 18
 
 
 def assemble_endpoint_pairs(cfg: ModeCfg, endpoints):

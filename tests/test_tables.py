@@ -188,3 +188,21 @@ def test_pbit_unique_error_terms_are_integers():
             assert ((n >> 1) * 32897 < 2**31).all()  # int32-safe on device
             x_int = np.minimum(2 * q + p, iscalep - 1 + p)
             np.testing.assert_array_equal(x_int >> 1, xq[p])
+
+
+def test_astc_interpolate_mulshift_form():
+    """Exhaustive proof for ops/uastc_decode.astc_interpolate: for all
+    l, h in 0..255 and w in 0..64, ((l*257)*(64-w) + (h*257)*w + 32) >> 14
+    == (m*4112 + 514) >> 18 with m = l*64 + (h-l)*w, int32-safe."""
+    import numpy as np
+
+    l, h, w = np.meshgrid(
+        np.arange(256), np.arange(256), np.arange(65), indexing="ij"
+    )
+    l = l.astype(np.int64)
+    h = h.astype(np.int64)
+    ref = ((l * 257) * (64 - w) + (h * 257) * w + 32) >> 14
+    m = (l << 6) + (h - l) * w
+    assert m.min() >= 0 and (m * 4112 + 514).max() < 2**31
+    got = (m * 4112 + 514) >> 18
+    np.testing.assert_array_equal(got, ref)
