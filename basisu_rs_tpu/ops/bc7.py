@@ -3,9 +3,11 @@
 Mirrors `convert_block_from_uastc` (reference: src/target_formats/bc7.rs:9-310):
 mode-mapped repack with endpoint permutation, anchor-driven endpoint swap +
 weight inversion, p-bit determination, and field emission.  The reference's
-f32 p-bit search (bc7.rs:408-553) is reproduced bit-exactly via IEEE-f32 term
-LUTs (see tables/bc7_tables.py): the device performs only IEEE-exact f32
-additions and comparisons, in the reference's summation order.
+f32 p-bit search (bc7.rs:408-553) is reproduced bit-exactly without gathers:
+unique p-bits collapse to pure int32 arithmetic, and shared p-bits compute
+their f32 division terms via the exact arithmetic fl_div255 (ops/bits.py),
+leaving only IEEE-exact f32 multiplies/adds/compares in the reference's
+summation order.
 """
 
 from __future__ import annotations
@@ -20,9 +22,8 @@ from ..tables import (
     bc7_mode_6_optimal_endpoints,
     get_family,
     np_tables,
-    pbit_luts,
 )
-from .bits import lane_shape, lut_lookup, LaneWriter, U32, mask
+from .bits import fl_div255, lane_shape, lut_lookup, LaneWriter, U32, mask
 from .uastc_decode import (
     assemble_endpoint_pairs,
     decode_fields,
@@ -68,9 +69,10 @@ def remap_weight_to_bc7(w, uastc_bits: int, bc7_bits: int):
 # v in 0..255 (IEEE single; exhaustively pinned by
 # tests/test_tables.py::test_pbit_unique_error_terms_are_integers), so each
 # term is an integer <= 255^2 and partial sums of <= 4 terms stay below 2^24 -
-# the f32 fold is bit-equivalent to integer arithmetic.  Shared p-bits keep
-# the IEEE-f32 term LUTs: their terms divide scaled/255 (bc7.rs:444), which
-# does NOT collapse to integers.
+# the f32 fold is bit-equivalent to integer arithmetic.  Shared p-bits must
+# keep f32: their terms divide scaled/255 (bc7.rs:444), which does NOT
+# collapse to integers - but the divisions are computed arithmetically
+# (fl_div255), so no table lookups remain in either search.
 # ---------------------------------------------------------------------------
 
 
@@ -144,20 +146,28 @@ def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
 
 
 def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
-    """Shared p-bits keep the IEEE-f32 error LUTs: their terms divide
-    scaled/255 (bc7.rs:444), which does not collapse to integers; only the
-    quantization itself is gather-free."""
-    _, _, err_s = pbit_luts(comp_bits + 1)
+    """Shared p-bits keep the reference's IEEE-f32 error comparison: the
+    terms divide scaled/255 (bc7.rs:444), which does not collapse to
+    integers (ties in the integer sums are resolved by last-ulp f32
+    rounding - enumerated exhaustively while building this).  But the f32
+    divisions themselves are computed arithmetically (fl_div255), so the
+    whole search is gather-free: terms are (fl(s/255) - fl(v/255))^2 with
+    every add/mul IEEE-exact on the VPU, folded in the reference's
+    accumulation order."""
+    tb = comp_bits + 1
+    x_lo = [_xq_pair(tb, e_lo[c]) for c in range(total_comps)]
+    x_hi = [_xq_pair(tb, e_hi[c]) for c in range(total_comps)]
+    fv_lo = [fl_div255(e_lo[c]) for c in range(total_comps)]
+    fv_hi = [fl_div255(e_hi[c]) for c in range(total_comps)]
     errs = {}
     for p in (0, 1):
-        terms = [
-            lut_lookup(err_s[p], e_lo[c]) + lut_lookup(err_s[p], e_hi[c])
-            for c in range(total_comps)
-        ]
+        terms = []
+        for c in range(total_comps):
+            bl = fl_div255(_scaled(tb, x_lo[c][p])) - fv_lo[c]
+            bh = fl_div255(_scaled(tb, x_hi[c][p])) - fv_hi[c]
+            terms.append(bl * bl + bh * bh)
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
-    x_lo = [_xq_pair(comp_bits + 1, e_lo[c]) for c in range(total_comps)]
-    x_hi = [_xq_pair(comp_bits + 1, e_hi[c]) for c in range(total_comps)]
     return (
         _select_quantized(x_lo, sb, total_comps),
         _select_quantized(x_hi, sb, total_comps),

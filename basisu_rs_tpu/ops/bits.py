@@ -269,3 +269,39 @@ def lut_lookup(table_np, idx):
     loaded = mode[1][table_key(table_np)]  # [chunks, 128] kernel input
     return gather_chunked(loaded, idx)
 
+
+# fl(2^-16 / (1 - 2^-16)), IEEE single: the relative correction that turns
+# x*257*2^-16 = x*257/65536 into x*257/65535 = x/255.
+_DIV255_K = float.fromhex("0x1.0001p-16")
+
+
+def fl_div255(x):
+    """IEEE-single fl(x/255) for integer tensors x in 0..255, gather-free.
+
+    TPU f32 division is 1 ulp off IEEE (see CLAUDE.md), so the reference's
+    `v as f32 / 255.` (e.g. bc7.rs:422-427) can't use a device divide.  The
+    LUT alternative costs a 2-chunk gather per byte; this is pure VPU math:
+
+        y0 = (x * 257) * 2^-16          exact (product <= 2^24, pow2 scale)
+        fl(x/255) = fl(y0 + fl(y0*K))   K = fl(2^-16/(1-2^-16))
+
+    y0*(1+K_true) = x/255 exactly; the two roundings land within 2^-40*y0 of
+    x/255 while no x/255 sits closer than ~2^-33 relative to an f32 rounding
+    boundary, so the final rounding is the division's (exhaustively pinned
+    for all 256 inputs and both FMA contraction orders by
+    tests/test_tables.py, and per-backend by tests/test_pbits.py).
+
+    XLA's algebraic simplifier factors `y0 + y0*K` into one multiply by a
+    runtime-summed constant (observed on the TPU backend), which double-
+    rounds; an optimization_barrier on the correction term blocks the
+    rewrite.  Mosaic can't lower the barrier - and doesn't need it: it
+    performs no such reassociation (pinned on hardware by
+    tests/test_tpu_hardware.py)."""
+    from jax import lax
+
+    y0 = (x.astype(jnp.float32) * jnp.float32(257.0)) * jnp.float32(2.0**-16)
+    c = y0 * jnp.float32(_DIV255_K)
+    if _TABLE_MODE is None or _TABLE_MODE[0] == "collect":
+        c = lax.optimization_barrier(c)
+    return y0 + c
+

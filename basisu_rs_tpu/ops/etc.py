@@ -152,17 +152,34 @@ def write_etc2_alpha_block(etc2tm, texels):
 
     values = [jnp.clip(center + mods[j] * mult, 0, 255) for j in range(8)]
 
+    # Selector search as a rank count over the value-sorted candidate order
+    # [3,2,1,0,4,5,6,7] (modifier rows are strictly decreasing then strictly
+    # increasing, so W is monotone up to clipping): 7 midpoint compares per
+    # texel instead of 8 packed |dist| mins.  Iterator::min_by_key's
+    # first-minimal-j tie rule (etc.rs:315-323) fixes each threshold's
+    # direction (>= where the smaller j sits at the higher rank, > where it
+    # sits lower) and leaves exactly two duplicate-run shapes the count
+    # can't see: mult == 0 (all eight equal) and W3 == W4 (center == 0 with
+    # modifier 0 in the table, ranks 0..4 equal), both of which resolve to
+    # j = 0.  Equivalence with the packed-min form is pinned exhaustively
+    # over all (table, mult, center, alpha) in tests/test_tables.py.
+    order = (3, 2, 1, 0, 4, 5, 6, 7)
+    W = [values[p] for p in order]
+    S = [W[k - 1] + W[k] for k in range(1, 8)]
+    mult0 = mult == 0
+    dup34 = W[3] == W[4]
+
     lane0 = (center.astype(U32) & 0xFF) | (etc2tm.astype(U32) << 8)
     lane1 = jnp.zeros(shape, U32)
     for i in range(16):
-        a = alphas[i]
-        # argmin over 8 candidates as a packed min of (distance << 3 | j):
-        # min picks the smallest distance, ties the smallest j - exactly
-        # Iterator::min_by_key's first-minimal semantics (etc.rs:315-323).
-        best = jnp.abs(values[0] - a) << 3
-        for j in range(1, 8):
-            best = jnp.minimum(best, (jnp.abs(values[j] - a) << 3) | j)
-        best_j = best & 7
+        a2 = alphas[i] << 1
+        r = (a2 >= S[0]).astype(I32)
+        for k in (1, 2):
+            r = r + (a2 >= S[k])
+        for k in (3, 4, 5, 6):
+            r = r + (a2 > S[k])
+        best_j = jnp.where(r < 4, 3 - r, r)
+        best_j = jnp.where(mult0 | (dup34 & (r <= 4)), 0, best_j)
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x
@@ -380,6 +397,12 @@ def uastc_to_etc2_mode(cfg: ModeCfg, lanes):
         return [a0, a1, r0, r1], jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
     texels, err = uastc_to_rgba_channels(cfg, lanes)
-    a0, a1 = write_etc2_alpha_block(flags["etc2tm"], texels)
+    if cfg.has_alpha:
+        a0, a1 = write_etc2_alpha_block(flags["etc2tm"], texels)
+    else:
+        # RGB modes decode alpha = 255 everywhere and carry no etc2tm hint
+        # (decode_trans_flags leaves it 0), so the EAC block is statically
+        # the solid-255 block (etc.rs:263-267) - skip the whole search.
+        a0, a1 = _solid_alpha_lanes(jnp.full(lane_shape(lanes), 255, I32))
     r0, r1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
     return [a0, a1, r0, r1], err

@@ -45,20 +45,45 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
     wq = [unquant_weight(w, cfg.weight_bits) for w in f.weights]
     pairs = assemble_endpoint_pairs(cfg, f.endpoints)
 
+    # Channels that share endpoint *objects* are trace-time dedupable:
+    # assemble_endpoint_pairs reuses one `full` array for RGB alpha and the
+    # same luminance arrays across LA's r/g/b, so an identity-keyed memo
+    # folds their interpolations into one (or none: equal endpoints make
+    # the ASTC lerp the identity - pinned exhaustively in test_tables).
+    def interp(cache, l, h, w):
+        if l is h:
+            return l
+        key = (id(l), id(h), id(w))
+        if key not in cache:
+            cache[key] = astc_interpolate(l, h, w)
+        return cache[key]
+
+    # LA dual-plane forces compsel = alpha (uastc.rs:343-350): the plane
+    # routing is static, no per-channel select needed.
+    static_cs = 3 if (cfg.plane_count == 2 and cfg.format == 2) else None
+
     texels = []
     if cfg.subset_count == 1:
         e0, e1 = pairs[0]
         if cfg.plane_count == 1:
             for i in range(16):
                 w = wq[i]
-                texels.append([astc_interpolate(e0[c], e1[c], w) for c in range(4)])
+                cache = {}
+                texels.append([interp(cache, e0[c], e1[c], w) for c in range(4)])
         else:
             for i in range(16):
                 w0, w1 = wq[2 * i], wq[2 * i + 1]
                 px = []
+                cache = {}
                 for c in range(4):
-                    wc = jnp.where(f.compsel == c, w1, w0)
-                    px.append(astc_interpolate(e0[c], e1[c], wc))
+                    if e0[c] is e1[c]:
+                        px.append(e0[c])
+                        continue
+                    if static_cs is not None:
+                        wc = w1 if c == static_cs else w0
+                    else:
+                        wc = jnp.where(f.compsel == c, w1, w0)
+                    px.append(interp(cache, e0[c], e1[c], wc))
                 texels.append(px)
     else:
         subsets = subsets_for_texels(cfg, f.pat)
@@ -66,13 +91,21 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
             s_i = subsets[i]
             w = wq[i]
             px = []
+            cache = {}
             for c in range(4):
+                if all(
+                    pairs[s][k][c] is pairs[0][0][c]
+                    for s in range(cfg.subset_count)
+                    for k in (0, 1)
+                ):
+                    px.append(pairs[0][0][c])  # constant channel (RGB alpha)
+                    continue
                 e0c = pairs[0][0][c]
                 e1c = pairs[0][1][c]
                 for s in range(1, cfg.subset_count):
                     e0c = jnp.where(s_i == s, pairs[s][0][c], e0c)
                     e1c = jnp.where(s_i == s, pairs[s][1][c], e1c)
-                px.append(astc_interpolate(e0c, e1c, w))
+                px.append(interp(cache, e0c, e1c, w))
             texels.append(px)
     return texels, f.err
 

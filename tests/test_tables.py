@@ -190,6 +190,53 @@ def test_pbit_unique_error_terms_are_integers():
             np.testing.assert_array_equal(x_int >> 1, xq[p])
 
 
+def test_astc_interpolate_equal_endpoints_is_identity():
+    """Exhaustive proof behind ops/rgba's constant-channel folding: the
+    ASTC fixed-point lerp of equal endpoints returns the endpoint for every
+    (value, weight) pair, so trace-time object-identical endpoint channels
+    (RGB alpha, LA r/g/b replication) need no interpolation at all."""
+    import numpy as np
+
+    l = np.arange(256)[:, None]
+    w = np.arange(65)[None, :]
+    m = (l << 6) + (l - l) * w
+    got = ((m << 12) + (m << 4) + 514) >> 18
+    np.testing.assert_array_equal(got, np.broadcast_to(l, got.shape))
+
+
+def test_eac_rank_selector_matches_packed_min():
+    """Exhaustive proof for ops/etc.write_etc2_alpha_block's rank-count
+    selector search: over ALL (table, multiplier, center, alpha) combos it
+    equals the packed-min transcription of the reference's min_by_key
+    (etc.rs:315-323), including first-minimal-j tie resolution and every
+    clipping-induced duplicate-run shape."""
+    import numpy as np
+
+    from basisu_rs_tpu.tables import np_tables
+
+    mods = np_tables()["ETC2_ALPHA_MODIFIERS"]
+    perm = [3, 2, 1, 0, 4, 5, 6, 7]
+    center = np.arange(256)[:, None]
+    a = np.arange(256)[None, :]
+    for t in range(16):
+        for mult in range(16):
+            vals = [np.clip(center + mods[t, j] * mult, 0, 255) for j in range(8)]
+            ref = np.abs(vals[0] - a) << 3
+            for j in range(1, 8):
+                ref = np.minimum(ref, (np.abs(vals[j] - a) << 3) | j)
+            ref_j = ref & 7
+
+            W = [vals[p] for p in perm]
+            r = np.zeros_like(ref_j)
+            for k in range(1, 4):
+                r = r + (2 * a >= W[k - 1] + W[k])
+            for k in range(4, 8):
+                r = r + (2 * a > W[k - 1] + W[k])
+            got = np.where(r < 4, 3 - r, r)
+            got = np.where((mult == 0) | ((W[3] == W[4]) & (r <= 4)), 0, got)
+            np.testing.assert_array_equal(got, ref_j, err_msg=f"table {t} mult {mult}")
+
+
 def test_astc_interpolate_mulshift_form():
     """Exhaustive proof for ops/uastc_decode.astc_interpolate: for all
     l, h in 0..255 and w in 0..64, ((l*257)*(64-w) + (h*257)*w + 32) >> 14

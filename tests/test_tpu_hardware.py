@@ -57,6 +57,32 @@ def test_pallas_tpu_matches_golden_all_modes(golden, target):
 
 
 @requires_tpu
+def test_fl_div255_exact_on_tpu_xla_and_pallas():
+    """The arithmetic f32 division (ops/bits.fl_div255) must round exactly
+    like IEEE v/255 on the real chip, through both compilation paths: XLA
+    (where an optimization barrier blocks the algebraic simplifier's
+    factoring rewrite) and Mosaic (no barrier, no rewrite)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from basisu_rs_tpu.ops import bits
+
+    true = (np.arange(256).astype(np.float32) / np.float32(255.0)).astype(np.float32)
+    x = jnp.arange(256, dtype=jnp.int32).reshape(2, 128)
+    out = np.asarray(jax.jit(bits.fl_div255)(x)).reshape(-1)
+    np.testing.assert_array_equal(out.view(np.int32), true.view(np.int32))
+
+    def kern(x_ref, o_ref):
+        with bits.table_mode("provide", {}):  # kernel context: no barrier
+            o_ref[...] = bits.fl_div255(x_ref[...])
+
+    pf = pl.pallas_call(kern, out_shape=jax.ShapeDtypeStruct((2, 128), jnp.float32))
+    out2 = np.asarray(jax.jit(pf)(x)).reshape(-1)
+    np.testing.assert_array_equal(out2.view(np.int32), true.view(np.int32))
+
+
+@requires_tpu
 def test_sharded_mode_step_on_tpu(golden):
     """The production sharded step (pallas inside shard_map) on the attached
     chip(s): bit parity with the host-partitioned path."""
