@@ -212,19 +212,24 @@ def read_slice_descs(buf: bytes, header: Header) -> list[SliceDesc]:
     return descs
 
 
-def make_etc1s_decoder(header: Header, buf: bytes) -> Etc1sDecoder:
+def make_etc1s_decoder(
+    header: Header, buf: bytes, *, endpoint_count_quirk: bool = False
+) -> Etc1sDecoder:
     """Build the BasisLZ decoder from header-addressed byte ranges
     (reference: basis.rs:262-298).
 
     NB: the reference passes `total_selectors` for the endpoint count
-    (basis.rs:290, a latent quirk); we use `total_endpoints`, which is what
-    files produced by the official encoder require."""
+    (basis.rs:290, a latent quirk); by default we use `total_endpoints`,
+    which is what files produced by the official encoder require.  Pass
+    endpoint_count_quirk=True for strict bug-for-bug parity with the
+    reference on files where the counts differ (COMPAT.md item 1)."""
     ep = buf[header.endpoint_cb_file_ofs : header.endpoint_cb_file_ofs + header.endpoint_cb_file_size]
     sel = buf[header.selector_cb_file_ofs : header.selector_cb_file_ofs + header.selector_cb_file_size]
     tables = buf[header.tables_file_ofs : header.tables_file_ofs + header.tables_file_size]
     is_video = header.tex_type == TextureType.VideoFrames
+    n_endpoints = header.total_selectors if endpoint_count_quirk else header.total_endpoints
     return Etc1sDecoder(
-        header.total_endpoints, header.total_selectors, ep, sel, tables, is_video
+        n_endpoints, header.total_selectors, ep, sel, tables, is_video
     )
 
 

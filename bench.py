@@ -46,7 +46,7 @@ from basisu_rs_tpu.ops.pallas_kernels import LANE, _pallas_build
 FIXTURE = Path(__file__).parent / "tests" / "fixtures" / "golden_blocks.npz"
 TARGET_GTEXELS_V5E8 = 5.0e9  # BASELINE.json north star, 8 chips
 N_BLOCKS = int(os.environ.get("BENCH_N", 1 << 23))  # 8.4M blocks, 134M texels
-ROWS = 8
+ROWS = 16
 
 
 def log(*args):
@@ -59,7 +59,7 @@ def build_batch(n_blocks: int) -> np.ndarray:
     return np.tile(blocks, (reps, 1))[:n_blocks]
 
 
-def _measure_chained(chained, xp, reps_hi: int = 1026, samples: int = 5) -> float:
+def _measure_chained(chained, xp, reps_hi: int = 1026, samples: int = 8) -> float:
     """Per-iteration seconds from a chained fori_loop at two trip counts.
 
     Robustness against the shared tunnel/chip: (a) the high trip count is

@@ -189,3 +189,10 @@ def test_endpoint_count_quirk_pinned():
     assert len(qdec.endpoints) == S
     with pytest.raises((OracleError, AssertionError)):
         qdec.transcode_to_etc1(8, 4, descs[0].data(buf))
+
+    # The production strict-parity switch mirrors the quirk: same truncated
+    # codebook as the quirk-faithful oracle.
+    sdec = make_etc1s_decoder(h, buf, endpoint_count_quirk=True)
+    assert len(sdec.endpoints) == S
+    q = np.array([[*c5, i5] for c5, i5 in qdec.endpoints], np.uint8)
+    np.testing.assert_array_equal(np.asarray(sdec.endpoints, np.uint8), q)
