@@ -354,16 +354,20 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
             lum = lums_o[pos] if pos == tr else jnp.where(
                 etc1f == 1, lums_o[pos], lums_o[tr]
             )
-            sel = (
-                (lum >= th01).astype(I32)
-                + (lum >= th12).astype(I32)
-                + (lum >= th23).astype(I32)
-            )
+            # Palette lums are non-decreasing in k (modifier rows ascend, clip
+            # is monotone), so the threshold hits are nested: c1 >= c2 >= c3
+            # with sel = c1+c2+c3.  The wire bits collapse to boolean forms of
+            # the hits directly - ms = !c2, ls = c3 | !c1 (3 ops instead of
+            # building sel and splitting it; truth table = selector_ms_ls).
+            c1 = lum >= th01
+            c2 = lum >= th12
+            c3 = lum >= th23
+            ms = ~c2
+            ls = c3 | ~c1
             x = i & 3
             y = 2 * sb + (i >> 2)
             pid_flip = x * 4 + y  # set_selector(x, y)
             pid_nof = y * 4 + x  # set_selector(y, x)
-            ms, ls = selector_ms_ls(sel)
             if pid_flip == pid_nof:
                 contrib = selector_wire_bits_from(ms, ls, pid_flip)
             else:

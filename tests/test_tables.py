@@ -204,6 +204,22 @@ def test_astc_interpolate_equal_endpoints_is_identity():
     np.testing.assert_array_equal(got, np.broadcast_to(l, got.shape))
 
 
+def test_etc1_selector_boolean_forms():
+    """The nested-threshold boolean forms in ops/etc._etc_rgb_lanes (ms=!c2,
+    ls=c3|!c1) must match selector_ms_ls over all four nested hit patterns
+    (c1>=c2>=c3, sel=c1+c2+c3)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from basisu_rs_tpu.ops.etc import selector_ms_ls
+
+    for c1, c2, c3 in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (1, 1, 1)]:
+        sel = jnp.asarray([c1 + c2 + c3])
+        ms_ref, ls_ref = selector_ms_ls(sel)
+        assert int(ms_ref[0]) == (1 - c2)
+        assert int(ls_ref[0]) == (c3 | (1 - c1))
+
+
 def test_eac_rank_selector_matches_packed_min():
     """Exhaustive proof for ops/etc.write_etc2_alpha_block's rank-count
     selector search: over ALL (table, multiplier, center, alpha) combos it
