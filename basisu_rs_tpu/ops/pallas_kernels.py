@@ -34,7 +34,17 @@ from ..tables import MODES
 from . import bits
 
 LANE = 128
-ROWS = 16  # 16 x 128 = 2048 blocks per grid step
+ROWS = 16  # default: 16 x 128 = 2048 blocks per grid step
+
+# Measured per-target grid tiles (v5e, ROWS sweep over 8/16/32/64): every
+# target prefers 32-row tiles except BC7, where 16 wins on the slow
+# multi-subset modes.  Larger tiles amortize grid/pipeline overhead; BC7's
+# bigger live-value footprint favors the smaller tile.
+ROWS_BY_TARGET = {"bc7": 16, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
+
+
+def rows_for_target(target: str) -> int:
+    return ROWS_BY_TARGET.get(target, ROWS)
 
 
 def _lane_fn(target: str):
@@ -92,11 +102,15 @@ def _pallas_build(target: str, mode_id: int, rows: int, interpret: bool = False)
     return build, tables, out_words
 
 
-def pallas_mode_kernel(target: str, mode_id: int, rows: int = ROWS, interpret: bool = False):
+def pallas_mode_kernel(
+    target: str, mode_id: int, rows: int | None = None, interpret: bool = False
+):
     """Jitted uint32[N,4] -> (uint32[N,W], err bool[N]) via a Pallas kernel.
 
     interpret=True runs the kernel through the Pallas interpreter (any
     backend) - used by the hermetic CPU tests."""
+    if rows is None:
+        rows = rows_for_target(target)
     build, tables, out_words = _pallas_build(target, mode_id, rows, interpret)
 
     @jax.jit

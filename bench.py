@@ -41,12 +41,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from basisu_rs_tpu.ops.bits import lanes_from_bytes_np
 from basisu_rs_tpu.ops.dispatch import block_modes
-from basisu_rs_tpu.ops.pallas_kernels import LANE, _pallas_build
+from basisu_rs_tpu.ops.pallas_kernels import LANE, _pallas_build, rows_for_target
 
 FIXTURE = Path(__file__).parent / "tests" / "fixtures" / "golden_blocks.npz"
 TARGET_GTEXELS_V5E8 = 5.0e9  # BASELINE.json north star, 8 chips
 N_BLOCKS = int(os.environ.get("BENCH_N", 1 << 23))  # 8.4M blocks, 134M texels
-ROWS = 16
 
 
 def log(*args):
@@ -84,8 +83,9 @@ def _measure_chained(chained, xp, reps_hi: int = 1026, samples: int = 8) -> floa
 def mode_rate(target: str, mode_id: int, lanes_np: np.ndarray):
     """Per-iteration seconds for this mode group (chained-loop timing)."""
     n = lanes_np.shape[0]
-    build, tables, _ = _pallas_build(target, mode_id, ROWS)
-    tile = ROWS * LANE
+    rows = rows_for_target(target)
+    build, tables, _ = _pallas_build(target, mode_id, rows)
+    tile = rows * LANE
     n_pad = ((n + tile - 1) // tile) * tile
     xp = jnp.zeros((n_pad, 4), jnp.uint32).at[:n].set(jnp.asarray(lanes_np))
     call = build(n_pad // LANE)
@@ -128,8 +128,9 @@ def mode_rate_sharded(target: str, mode_id: int, lanes_np: np.ndarray, mesh):
 
     n_dev = mesh.devices.size
     n = lanes_np.shape[0]
-    build, tables, _ = _pallas_build(target, mode_id, ROWS)
-    tile = ROWS * LANE * n_dev
+    rows = rows_for_target(target)
+    build, tables, _ = _pallas_build(target, mode_id, rows)
+    tile = rows * LANE * n_dev
     n_pad = ((n + tile - 1) // tile) * tile
     xp = jnp.zeros((n_pad, 4), jnp.uint32).at[:n].set(jnp.asarray(lanes_np))
     xp = jax.device_put(xp, NamedSharding(mesh, P(BLOCK_AXIS, None)))
