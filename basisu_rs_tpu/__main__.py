@@ -73,6 +73,30 @@ def cmd_transcode(args) -> int:
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
     stem = Path(args.file).stem
+
+    if args.container == "ktx":
+        from .container.basis import TexFormat, read_header, read_slice_descs
+        from .container.ktx import group_mip_chains, write_ktx
+
+        if args.target == "uastc":
+            print("uastc has no KTX format mapping; use --container bin", file=sys.stderr)
+            return 2
+        h = read_header(buf)
+        descs = read_slice_descs(buf, h)
+        # ETC1S+alpha RGBA decode pairs RGB+A slices into one image each
+        if (
+            args.target == "rgba"
+            and h.texture_format() == TexFormat.ETC1S
+            and h.has_alpha
+        ):
+            descs = descs[::2]
+        for i, chain in enumerate(group_mip_chains(images, descs)):
+            path = outdir / f"{stem}_{i}.{args.target}.ktx"
+            blob = write_ktx(chain, args.target)
+            path.write_bytes(blob)
+            print(f"wrote {path} ({chain[0].w}x{chain[0].h}, {len(chain)} level(s), {len(blob)} bytes)")
+        return 0
+
     for i, img in enumerate(images):
         path = outdir / f"{stem}_{i}.{args.target}.bin"
         np.asarray(img.data).tofile(path)
@@ -115,6 +139,13 @@ def main(argv=None) -> int:
     pt = sub.add_parser("transcode", help="transcode a .basis file")
     pt.add_argument("file")
     pt.add_argument("--target", choices=["rgba", "astc", "bc7", "etc1", "etc2", "uastc"], default="bc7")
+    pt.add_argument(
+        "--container",
+        choices=["bin", "ktx"],
+        default="bin",
+        help="output container: raw blocks + JSON metadata, or a loadable "
+        "KTX texture per image (mip chains preserved)",
+    )
     pt.add_argument("-o", "--output", default=".")
     pt.set_defaults(fn=cmd_transcode)
 

@@ -142,7 +142,8 @@ def _pack_slice_desc(
 
 def write_uastc_basis(slices) -> bytes:
     """slices: list of dicts {blocks: uint8 [nby*nbx, 16], nbx, nby,
-    orig_width, orig_height}.  Returns the .basis file bytes."""
+    orig_width, orig_height, [image_index], [level_index]}.  Returns the
+    .basis file bytes."""
     header_size = 77
     slice_desc_ofs = header_size
     payload_ofs = slice_desc_ofs + 23 * len(slices)
@@ -154,7 +155,8 @@ def write_uastc_basis(slices) -> bytes:
         data = np.ascontiguousarray(s["blocks"], np.uint8).tobytes()
         descs.append(
             _pack_slice_desc(
-                i, 0, 0, s["orig_width"], s["orig_height"], s["nbx"], s["nby"],
+                s.get("image_index", i), s.get("level_index", 0), 0,
+                s["orig_width"], s["orig_height"], s["nbx"], s["nby"],
                 ofs, len(data), crc16(data),
             )
         )
@@ -166,7 +168,7 @@ def write_uastc_basis(slices) -> bytes:
         data_size=len(body),
         data_crc16=crc16(body),
         total_slices=len(slices),
-        total_images=len(slices),
+        total_images=len({s.get("image_index", i) for i, s in enumerate(slices)}),
         tex_format=1,  # UASTC4x4
         flags=0,
         tex_type=0,

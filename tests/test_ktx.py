@@ -1,0 +1,126 @@
+"""KTX v1 emission: header layout, mip chains, RGBA row cropping, CLI.
+
+The reference consumes KTX files of exactly these formats in its corpus
+tests (tests/common.rs:15-22) but never writes them; this pins our writer's
+byte layout against the Khronos KTX 1.1 spec by hand.
+"""
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from basisu_rs_tpu.container.ktx import group_mip_chains, write_ktx
+from basisu_rs_tpu.container.writer import write_uastc_basis
+
+IDENT = bytes([0xAB, 0x4B, 0x54, 0x58, 0x20, 0x31, 0x31, 0xBB, 0x0D, 0x0A, 0x1A, 0x0A])
+
+
+def _mode8_block(r, g, b, a):
+    """Solid-color UASTC block (mode 8 void extent)."""
+    from basisu_rs_tpu.tables import MODE8_RGBA_OFFSET
+
+    bits = bytearray(16)
+    bits[0] = 1 << 3  # mode 8 code
+    v = (r | (g << 8) | (b << 16) | (a << 24)) << MODE8_RGBA_OFFSET
+    cur = int.from_bytes(bits, "little") | v
+    return np.frombuffer(cur.to_bytes(16, "little"), np.uint8)
+
+
+def _basis_with_mips():
+    """One image, two mip levels (8x8 and 4x4), one extra single-level image."""
+    blk = _mode8_block(10, 20, 30, 255)
+    return write_uastc_basis(
+        [
+            dict(blocks=np.tile(blk, (4, 1)), nbx=2, nby=2, orig_width=8,
+                 orig_height=8, image_index=0, level_index=0),
+            dict(blocks=np.tile(blk, (1, 1)), nbx=1, nby=1, orig_width=4,
+                 orig_height=4, image_index=0, level_index=1),
+            dict(blocks=np.tile(blk, (1, 1)), nbx=1, nby=1, orig_width=3,
+                 orig_height=3, image_index=1, level_index=0),
+        ]
+    )
+
+
+def _header_fields(blob):
+    assert blob[:12] == IDENT
+    return struct.unpack_from("<13I", blob, 12)
+
+
+def test_ktx_bc7_mip_chain_layout():
+    from basisu_rs_tpu import read_to_bc7
+    from basisu_rs_tpu.container.basis import read_header, read_slice_descs
+
+    buf = _basis_with_mips()
+    images = read_to_bc7(buf)
+    descs = read_slice_descs(buf, read_header(buf))
+    chains = group_mip_chains(images, descs)
+    assert [len(c) for c in chains] == [2, 1]
+
+    blob = write_ktx(chains[0], "bc7")
+    (endian, gl_type, gl_tsize, gl_fmt, gl_int, gl_base,
+     w, h, depth, narr, nfaces, nmips, kv) = _header_fields(blob)
+    assert endian == 0x04030201
+    assert (gl_type, gl_tsize, gl_fmt) == (0, 1, 0)
+    assert gl_int == 0x8E8C and gl_base == 0x1908  # BPTC_UNORM
+    assert (w, h, depth, narr, nfaces, nmips, kv) == (8, 8, 0, 0, 1, 2, 0)
+
+    ofs = 12 + 13 * 4
+    size0 = struct.unpack_from("<I", blob, ofs)[0]
+    assert size0 == 4 * 16  # 2x2 blocks x 16 bytes
+    lvl0 = blob[ofs + 4 : ofs + 4 + size0]
+    np.testing.assert_array_equal(
+        np.frombuffer(lvl0, np.uint8), np.asarray(images[0].data, np.uint8).reshape(-1)
+    )
+    ofs += 4 + size0
+    size1 = struct.unpack_from("<I", blob, ofs)[0]
+    assert size1 == 16
+    assert len(blob) == ofs + 4 + size1  # 16-byte payloads need no padding
+
+
+def test_ktx_rgba_rows_cropped_to_orig_width():
+    from basisu_rs_tpu import read_to_rgba
+
+    buf = _basis_with_mips()
+    _, images = read_to_rgba(buf)
+    img = images[2]  # 3x3 image inside a 4x4 block
+    blob = write_ktx([img], "rgba")
+    (_, gl_type, gl_tsize, gl_fmt, gl_int, gl_base, w, h, *_rest) = _header_fields(blob)
+    assert (gl_type, gl_fmt, gl_int, gl_base) == (0x1401, 0x1908, 0x8058, 0x1908)
+    assert (w, h) == (3, 3)
+    ofs = 12 + 13 * 4
+    size = struct.unpack_from("<I", blob, ofs)[0]
+    assert size == 3 * 3 * 4
+    data = np.asarray(img.data, np.uint8)
+    expect = b"".join(
+        data[y * img.stride : y * img.stride + 12].tobytes() for y in range(3)
+    )
+    assert blob[ofs + 4 : ofs + 4 + size] == expect
+    assert len(blob) % 4 == 0  # row payload padded to 4
+
+
+def test_ktx_rejects_unmapped_target():
+    with pytest.raises(ValueError):
+        write_ktx([], "bc7")
+    from basisu_rs_tpu import read_to_uastc
+
+    images = read_to_uastc(_basis_with_mips())
+    with pytest.raises(ValueError):
+        write_ktx([images[0]], "uastc")
+
+
+def test_cli_transcode_ktx(tmp_path):
+    from basisu_rs_tpu.__main__ import main
+
+    src = tmp_path / "tex.basis"
+    src.write_bytes(_basis_with_mips())
+    rc = main(["transcode", str(src), "--target", "etc2", "--container", "ktx",
+               "-o", str(tmp_path)])
+    assert rc == 0
+    files = sorted(tmp_path.glob("*.ktx"))
+    assert [f.name for f in files] == ["tex_0.etc2.ktx", "tex_1.etc2.ktx"]
+    blob = files[0].read_bytes()
+    fields = _header_fields(blob)
+    assert fields[4] == 0x9278  # COMPRESSED_RGBA8_ETC2_EAC
+    assert fields[11] == 2  # two mip levels
