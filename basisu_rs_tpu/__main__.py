@@ -74,6 +74,18 @@ def cmd_transcode(args) -> int:
     outdir.mkdir(parents=True, exist_ok=True)
     stem = Path(args.file).stem
 
+    if args.container == "png":
+        from .container.png import write_png
+
+        if args.target != "rgba":
+            print("--container png requires --target rgba", file=sys.stderr)
+            return 2
+        for i, img in enumerate(images):
+            path = outdir / f"{stem}_{i}.png"
+            path.write_bytes(write_png(img))
+            print(f"wrote {path} ({img.w}x{img.h})")
+        return 0
+
     if args.container == "ktx":
         from .container.basis import TexFormat, read_header, read_slice_descs
         from .container.ktx import group_mip_chains, write_ktx
@@ -141,10 +153,10 @@ def main(argv=None) -> int:
     pt.add_argument("--target", choices=["rgba", "astc", "bc7", "etc1", "etc2", "uastc"], default="bc7")
     pt.add_argument(
         "--container",
-        choices=["bin", "ktx"],
+        choices=["bin", "ktx", "png"],
         default="bin",
-        help="output container: raw blocks + JSON metadata, or a loadable "
-        "KTX texture per image (mip chains preserved)",
+        help="output container: raw blocks + JSON metadata, a loadable KTX "
+        "texture per image (mip chains preserved), or PNG (rgba only)",
     )
     pt.add_argument("-o", "--output", default=".")
     pt.set_defaults(fn=cmd_transcode)

@@ -110,6 +110,45 @@ def test_ktx_rejects_unmapped_target():
         write_ktx([images[0]], "uastc")
 
 
+def test_png_roundtrip_and_cli(tmp_path):
+    """write_png output decodes back (stdlib zlib) to the cropped RGBA rows;
+    the reference's corpus tests use PNGs as the RGBA comparison medium
+    (tests/common.rs:15-22)."""
+    import zlib
+
+    from basisu_rs_tpu import read_to_rgba
+    from basisu_rs_tpu.__main__ import main
+    from basisu_rs_tpu.container.png import write_png
+
+    buf = _basis_with_mips()
+    _, images = read_to_rgba(buf)
+    img = images[2]  # 3x3, exercises stride cropping
+    blob = write_png(img)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h, depth, ctype = struct.unpack_from(">IIBB", blob, 16)
+    assert (w, h, depth, ctype) == (3, 3, 8, 6)
+    idat_len = struct.unpack_from(">I", blob, 33)[0]
+    assert blob[37:41] == b"IDAT"
+    raw = zlib.decompress(blob[41 : 41 + idat_len])
+    data = np.asarray(img.data, np.uint8)
+    expect = b"".join(
+        b"\x00" + data[y * img.stride : y * img.stride + 12].tobytes() for y in range(3)
+    )
+    assert raw == expect
+
+    src = tmp_path / "tex.basis"
+    src.write_bytes(buf)
+    rc = main(["transcode", str(src), "--target", "rgba", "--container", "png",
+               "-o", str(tmp_path)])
+    assert rc == 0
+    assert sorted(p.name for p in tmp_path.glob("*.png")) == [
+        "tex_0.png", "tex_1.png", "tex_2.png"
+    ]
+    # non-rgba targets are rejected
+    assert main(["transcode", str(src), "--target", "bc7", "--container", "png",
+                 "-o", str(tmp_path)]) == 2
+
+
 def test_cli_transcode_ktx(tmp_path):
     from basisu_rs_tpu.__main__ import main
 
