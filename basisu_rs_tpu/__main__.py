@@ -67,6 +67,14 @@ def cmd_transcode(args) -> int:
         "etc2": read_to_etc2,
         "uastc": read_to_uastc,
     }
+    # container/target compatibility is checked before any transcode work
+    if args.container == "png" and args.target != "rgba":
+        print("--container png requires --target rgba", file=sys.stderr)
+        return 2
+    if args.container == "ktx" and args.target == "uastc":
+        print("uastc has no KTX format mapping; use --container bin", file=sys.stderr)
+        return 2
+
     buf = Path(args.file).read_bytes()
     result = readers[args.target](buf)
     images = result[1] if args.target == "rgba" else result
@@ -77,9 +85,6 @@ def cmd_transcode(args) -> int:
     if args.container == "png":
         from .container.png import write_png
 
-        if args.target != "rgba":
-            print("--container png requires --target rgba", file=sys.stderr)
-            return 2
         for i, img in enumerate(images):
             path = outdir / f"{stem}_{i}.png"
             path.write_bytes(write_png(img))
@@ -90,23 +95,29 @@ def cmd_transcode(args) -> int:
         from .container.basis import TexFormat, read_header, read_slice_descs
         from .container.ktx import group_mip_chains, write_ktx
 
-        if args.target == "uastc":
-            print("uastc has no KTX format mapping; use --container bin", file=sys.stderr)
-            return 2
         h = read_header(buf)
         descs = read_slice_descs(buf, h)
-        # ETC1S+alpha RGBA decode pairs RGB+A slices into one image each
-        if (
-            args.target == "rgba"
-            and h.texture_format() == TexFormat.ETC1S
-            and h.has_alpha
-        ):
-            descs = descs[::2]
-        for i, chain in enumerate(group_mip_chains(images, descs)):
-            path = outdir / f"{stem}_{i}.{args.target}.ktx"
-            blob = write_ktx(chain, args.target)
-            path.write_bytes(blob)
-            print(f"wrote {path} ({chain[0].w}x{chain[0].h}, {len(chain)} level(s), {len(blob)} bytes)")
+        named = []  # (file suffix, mip chains)
+        if h.texture_format() == TexFormat.ETC1S and h.has_alpha and args.target == "rgba":
+            # RGBA decode merges each RGB+A slice pair into one image
+            named.append(("", group_mip_chains(images, descs[::2])))
+        elif h.texture_format() == TexFormat.ETC1S and h.has_alpha and args.target == "etc1":
+            # ETC1 decodes every slice separately: the alpha slices are their
+            # own (grayscale) ETC1 images sharing (image, level) with their
+            # RGB partners - split them into parallel _alpha chains instead
+            # of letting them collide as bogus extra mip levels
+            rgb = [(img, d) for img, d in zip(images, descs, strict=True) if not d.has_alpha]
+            alp = [(img, d) for img, d in zip(images, descs, strict=True) if d.has_alpha]
+            named.append(("", group_mip_chains([i for i, _ in rgb], [d for _, d in rgb])))
+            named.append(("_alpha", group_mip_chains([i for i, _ in alp], [d for _, d in alp])))
+        else:
+            named.append(("", group_mip_chains(images, descs)))
+        for suffix, chains in named:
+            for i, chain in enumerate(chains):
+                path = outdir / f"{stem}_{i}{suffix}.{args.target}.ktx"
+                blob = write_ktx(chain, args.target)
+                path.write_bytes(blob)
+                print(f"wrote {path} ({chain[0].w}x{chain[0].h}, {len(chain)} level(s), {len(blob)} bytes)")
         return 0
 
     for i, img in enumerate(images):

@@ -86,9 +86,11 @@ def write_ktx(images, target: str) -> bytes:
 
 def group_mip_chains(images, descs):
     """Split the flat slice list from read_to_* into per-image mip chains
-    using the slice descriptors' (image_index, level_index)."""
+    using the slice descriptors' (image_index, level_index).  images and
+    descs must pair 1:1 (callers drop alpha descs when the reader merged
+    RGB+A slice pairs)."""
     chains: dict[int, list] = {}
-    for img, d in zip(images, descs):
+    for img, d in zip(images, descs, strict=True):
         chains.setdefault(d.image_index, []).append((d.level_index, img))
     return [
         [img for _, img in sorted(chain, key=lambda t: t[0])]

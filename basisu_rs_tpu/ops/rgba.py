@@ -50,17 +50,21 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
     # same luminance arrays across LA's r/g/b, so an identity-keyed memo
     # folds their interpolations into one (or none: equal endpoints make
     # the ASTC lerp the identity - pinned exhaustively in test_tables).
+    # The cache value keeps the keyed operands alive so the id() keys can't
+    # be reused by a freed array within a texel's lifetime.
     def interp(cache, l, h, w):
         if l is h:
             return l
         key = (id(l), id(h), id(w))
         if key not in cache:
-            cache[key] = astc_interpolate(l, h, w)
-        return cache[key]
+            cache[key] = (astc_interpolate(l, h, w), l, h, w)
+        return cache[key][0]
 
-    # LA dual-plane forces compsel = alpha (uastc.rs:343-350): the plane
-    # routing is static, no per-channel select needed.
-    static_cs = 3 if (cfg.plane_count == 2 and cfg.format == 2) else None
+    # LA dual-plane forces compsel = alpha (uastc.rs:343-350, mirrored by
+    # decode_compsel): the plane routing is static, no per-channel select.
+    from ..tables.modes import LA
+
+    static_cs = 3 if (cfg.plane_count == 2 and cfg.format == LA) else None
 
     texels = []
     if cfg.subset_count == 1:
@@ -91,7 +95,6 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
             s_i = subsets[i]
             w = wq[i]
             px = []
-            cache = {}
             for c in range(4):
                 if all(
                     pairs[s][k][c] is pairs[0][0][c]
@@ -100,12 +103,14 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                 ):
                     px.append(pairs[0][0][c])  # constant channel (RGB alpha)
                     continue
+                # per-channel where-chains are fresh objects - no cross-
+                # channel sharing to memoize here
                 e0c = pairs[0][0][c]
                 e1c = pairs[0][1][c]
                 for s in range(1, cfg.subset_count):
                     e0c = jnp.where(s_i == s, pairs[s][0][c], e0c)
                     e1c = jnp.where(s_i == s, pairs[s][1][c], e1c)
-                px.append(interp(cache, e0c, e1c, w))
+                px.append(astc_interpolate(e0c, e1c, w))
             texels.append(px)
     return texels, f.err
 

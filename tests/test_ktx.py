@@ -110,6 +110,45 @@ def test_ktx_rejects_unmapped_target():
         write_ktx([images[0]], "uastc")
 
 
+def test_cli_ktx_etc1s_alpha_pairing(tmp_path):
+    """ETC1S+alpha files: for rgba the RGB+A slice pairs merge into one
+    image per pair; for etc1 every slice is its own image and alpha slices
+    must become parallel _alpha chains, not bogus extra mip levels."""
+    from basisu_rs_tpu.__main__ import main
+    from basisu_rs_tpu.container.writer import write_etc1s_basis
+
+    rng = np.random.default_rng(3)
+    E, S = 8, 8
+    endpoints = np.zeros((E, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (E, 3))
+    endpoints[:, 3] = rng.integers(0, 8, E)
+    selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
+    sl = dict(nbx=2, nby=2, orig_width=8, orig_height=8)
+    mk = lambda alpha: dict(
+        ep_idx=rng.integers(0, E, 4), sel_idx=rng.integers(0, S, 4), alpha=alpha, **sl
+    )
+    buf = write_etc1s_basis(endpoints, selectors, [mk(False), mk(True)], has_alpha=True)
+    src = tmp_path / "a.basis"
+    src.write_bytes(buf)
+
+    rc = main(["transcode", str(src), "--target", "rgba", "--container", "ktx",
+               "-o", str(tmp_path / "rgba")])
+    assert rc == 0
+    assert [p.name for p in sorted((tmp_path / "rgba").glob("*.ktx"))] == ["a_0.rgba.ktx"]
+    blob = (tmp_path / "rgba" / "a_0.rgba.ktx").read_bytes()
+    assert _header_fields(blob)[11] == 1  # one level, not two
+
+    rc = main(["transcode", str(src), "--target", "etc1", "--container", "ktx",
+               "-o", str(tmp_path / "etc1")])
+    assert rc == 0
+    names = [p.name for p in sorted((tmp_path / "etc1").glob("*.ktx"))]
+    assert names == ["a_0.etc1.ktx", "a_0_alpha.etc1.ktx"]
+    for name in names:
+        b = (tmp_path / "etc1" / name).read_bytes()
+        fields = _header_fields(b)
+        assert fields[11] == 1 and (fields[6], fields[7]) == (8, 8)
+
+
 def test_png_roundtrip_and_cli(tmp_path):
     """write_png output decodes back (stdlib zlib) to the cropped RGBA rows;
     the reference's corpus tests use PNGs as the RGBA comparison medium
