@@ -139,6 +139,7 @@ class NativeEtc1sModels:
 
     def __del__(self):
         h = getattr(self, "_h", None)
-        if h:
+        # _LIB can already be torn down to None at interpreter exit
+        if h and _LIB is not None:
             _LIB.etc1s_destroy(h)
             self._h = None

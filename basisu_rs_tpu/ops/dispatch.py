@@ -101,16 +101,13 @@ def _bucket(n: int) -> int:
     return size
 
 
-def transcode_blocks(blocks_u8, target: str, backend: str | None = None):
-    """numpy uint8 [N,16] UASTC blocks -> (out, err) numpy arrays.
-
-    out: uint32 [N,16] for target 'rgba', else uint8 [N, 4*W] block bytes.
-    err: bool [N], True where the reference would return Err (invalid mode
-    or pattern index).
-
-    All mode groups are dispatched asynchronously before any result is
-    pulled back, so device work overlaps across groups.
-    """
+def partitioned_transcode(blocks_u8, target: str, pad_group, run_group):
+    """Shared host orchestration for the partitioned paths (plain and
+    mesh-sharded): partition by mode, zero-pad each group via pad_group(m),
+    dispatch all groups asynchronously through run_group(mode_id, group) ->
+    (out, err) device arrays, then scatter results back into original block
+    order.  Output dtype rule: uint32 texel words for 'rgba', block bytes
+    otherwise."""
     _ensure_registered()
     _, out_words = _REGISTRY[target]
     blocks_u8 = np.ascontiguousarray(blocks_u8, np.uint8).reshape(-1, 16)
@@ -127,10 +124,9 @@ def transcode_blocks(blocks_u8, target: str, backend: str | None = None):
             continue
         idx = np.nonzero(modes == mode_id)[0]
         m = len(idx)
-        padded = _bucket(m)
-        group = np.zeros((padded, 4), np.uint32)
+        group = np.zeros((pad_group(m), 4), np.uint32)
         group[:m] = lanes[idx]
-        o, e = _mode_kernel(target, int(mode_id), backend)(group)
+        o, e = run_group(int(mode_id), group)
         pending.append((idx, m, o, e))
 
     for idx, m, o, e in pending:
@@ -140,6 +136,24 @@ def transcode_blocks(blocks_u8, target: str, backend: str | None = None):
     if target == "rgba":
         return out, err
     return bytes_from_lanes_np(out), err
+
+
+def transcode_blocks(blocks_u8, target: str, backend: str | None = None):
+    """numpy uint8 [N,16] UASTC blocks -> (out, err) numpy arrays.
+
+    out: uint32 [N,16] for target 'rgba', else uint8 [N, 4*W] block bytes.
+    err: bool [N], True where the reference would return Err (invalid mode
+    or pattern index).
+
+    All mode groups are dispatched asynchronously before any result is
+    pulled back, so device work overlaps across groups.
+    """
+    return partitioned_transcode(
+        blocks_u8,
+        target,
+        _bucket,
+        lambda mode_id, group: _mode_kernel(target, mode_id, backend)(group),
+    )
 
 
 @lru_cache(maxsize=None)

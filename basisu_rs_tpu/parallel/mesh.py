@@ -26,10 +26,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.dispatch import (
-    INVALID_MODE,
     _bucket,
     _mode_kernel,
-    block_modes,
+    partitioned_transcode,
     transcode_all_modes_fn,
 )
 
@@ -130,46 +129,21 @@ def sharded_mode_step(target: str, mode_id: int, mesh: Mesh, backend: str | None
 def sharded_transcode(blocks_u8, target: str, mesh: Mesh, backend: str | None = None):
     """Production multi-chip batch transcode: numpy uint8 [N,16] -> (out, err).
 
-    Host partitions blocks by UASTC mode (cheap numpy pass over byte 0), each
-    mode group is padded to a power-of-two bucket per shard, sharded over the
-    mesh block axis, and run through its mode-specialized kernel inside
-    shard_map.  Results scatter back into original block order.  Output dtype
-    rules match ops.dispatch.transcode_blocks.
+    The shared partition/pad/scatter orchestration lives in
+    ops.dispatch.partitioned_transcode; here each mode group is padded to a
+    power-of-two bucket *per shard*, placed onto the mesh block axis, and run
+    through its mode-specialized kernel inside shard_map.  Output dtype rules
+    match ops.dispatch.transcode_blocks.
     """
-    from ..ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
-    from ..ops.dispatch import _REGISTRY, _ensure_registered
-
-    _ensure_registered()
-    _, out_words = _REGISTRY[target]
     backend = backend or mesh_backend(mesh)
     n_dev = mesh.devices.size
     sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
 
-    blocks_u8 = np.ascontiguousarray(blocks_u8, np.uint8).reshape(-1, 16)
-    n = blocks_u8.shape[0]
-    modes = block_modes(blocks_u8)
-    lanes = lanes_from_bytes_np(blocks_u8, 4)
-
-    out = np.zeros((n, out_words), np.uint32)
-    err = modes == INVALID_MODE
-
-    pending = []
-    for mode_id in np.unique(modes):
-        if mode_id == INVALID_MODE:
-            continue
-        idx = np.nonzero(modes == mode_id)[0]
-        m = len(idx)
-        padded = n_dev * _bucket(-(-m // n_dev))
-        group = np.zeros((padded, 4), np.uint32)
-        group[:m] = lanes[idx]
-        step = sharded_mode_step(target, int(mode_id), mesh, backend)
+    def run_group(mode_id, group):
+        step = sharded_mode_step(target, mode_id, mesh, backend)
         o, e, _ = step(jax.device_put(jnp.asarray(group), sharding))
-        pending.append((idx, m, o, e))
+        return o, e
 
-    for idx, m, o, e in pending:
-        out[idx] = np.asarray(o)[:m]
-        err[idx] |= np.asarray(e)[:m]
-
-    if target == "rgba":
-        return out, err
-    return bytes_from_lanes_np(out), err
+    return partitioned_transcode(
+        blocks_u8, target, lambda m: n_dev * _bucket(-(-m // n_dev)), run_group
+    )

@@ -40,7 +40,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from basisu_rs_tpu.ops.bits import lanes_from_bytes_np
-from basisu_rs_tpu.ops.dispatch import block_modes
+from basisu_rs_tpu.ops.dispatch import INVALID_MODE, block_modes
 from basisu_rs_tpu.ops.pallas_kernels import LANE, _pallas_build, rows_for_target
 
 FIXTURE = Path(__file__).parent / "tests" / "fixtures" / "golden_blocks.npz"
@@ -108,7 +108,7 @@ def bench_target(target: str, blocks: np.ndarray) -> float:
     total_s = 0.0
     total_blocks = 0
     for mode_id in np.unique(modes):
-        if mode_id == 19:
+        if mode_id == INVALID_MODE:
             continue
         idx = np.nonzero(modes == mode_id)[0]
         per, n_pad = mode_rate(target, int(mode_id), lanes[idx])
@@ -170,7 +170,7 @@ def bench_target_sharded(target: str, blocks: np.ndarray) -> float:
     total_s = 0.0
     total_blocks = 0
     for mode_id in np.unique(modes):
-        if mode_id == 19:
+        if mode_id == INVALID_MODE:
             continue
         idx = np.nonzero(modes == mode_id)[0]
         per, n_pad = mode_rate_sharded(target, int(mode_id), lanes[idx], mesh)

@@ -53,7 +53,14 @@ _WORKER = textwrap.dedent(
 def test_two_process_distributed_smoke(tmp_path):
     """Spawn two real processes, bootstrap jax.distributed over localhost,
     and check sharding + gathered stats end-to-end."""
-    port = 12000 + (os.getpid() % 2000)
+    # reserve a genuinely free port (pid-derived ports can collide across
+    # concurrent runs); the brief close->bind race window is acceptable for
+    # a smoke test
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     coord = f"localhost:{port}"
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)

@@ -155,7 +155,7 @@ def test_pbit_unique_error_terms_are_integers():
     fold is bit-equivalent to integer arithmetic."""
     import numpy as np
 
-    from basisu_rs_tpu.tables.bc7_tables import pbit_luts, pbit_xq_packed2
+    from basisu_rs_tpu.tables.bc7_tables import pbit_luts
 
     v = np.arange(256)
     # fl(fl(v/255) * 255) == v exactly (IEEE single)
@@ -164,7 +164,6 @@ def test_pbit_unique_error_terms_are_integers():
 
     for tb in range(4, 9):
         xq, err_u, _ = pbit_luts(tb)
-        packed2 = pbit_xq_packed2(tb)
         for p in (0, 1):
             x = 2 * xq[p].astype(np.int64) + p
             if tb < 8:
@@ -175,10 +174,6 @@ def test_pbit_unique_error_terms_are_integers():
             int_term = (scaled - v) ** 2
             assert (int_term <= 255 * 255).all()  # 4 terms < 2^24
             np.testing.assert_array_equal(err_u[p], int_term.astype(np.float32))
-            # packed2 halfword extraction reproduces xq
-            word = packed2[v >> 1].astype(np.int64)
-            half = (word >> ((v & 1) << 4)) & 0xFFFF
-            np.testing.assert_array_equal((half >> (8 * p)) & 0xFF, xq[p])
             # gather-free quantization (ops/bc7.py _xq_pair): the f32
             # quantization equals clamp(2*floor((v*iscalep+255-255p)/510)+p,
             # p, iscalep-1+p), with floor(n/510) = ((n>>1)*32897)>>23

@@ -43,27 +43,45 @@ def _task(models, nbx, nby, data, reps=40):
 
 
 def test_native_decode_releases_the_gil(slice_setup):
-    """Runs on any core count: while one thread is inside the native call, a
-    pure-Python thread must keep making progress.  If the GIL were held for
-    the call's duration the counter would stay ~0."""
+    """Runs on any core count, including 1-CPU hosts: with the interpreter's
+    switch interval set far beyond the test's duration, a pure-Python
+    spinner thread can make progress ONLY if the native call actually drops
+    the GIL (no preemption will ever hand it over; a GIL-holding native
+    call would freeze the counter for the whole measurement loop).  A plain
+    end-to-end counter with the default 5ms switch interval is vacuous: the
+    spinner catches up whenever preemption lands between calls."""
+    import sys
     import threading
 
     models, nbx, nby, data = slice_setup
     _task(models, nbx, nby, data, reps=4)  # warm
 
-    done = threading.Event()
+    stop = False
     count = 0
 
-    def decode():
-        _task(models, nbx, nby, data, reps=200)
-        done.set()
+    def spin():
+        nonlocal count
+        while not stop:
+            count += 1
+            if not (count & 0xFFFF):
+                time.sleep(0)  # periodic voluntary yield so the main thread
+                # can ever reacquire the GIL under the huge switch interval
 
-    t = threading.Thread(target=decode)
-    t.start()
-    while not done.is_set():
-        count += 1
-    t.join()
-    assert count > 1000, f"Python thread starved during native decode (count={count})"
+    old = sys.getswitchinterval()
+    sys.setswitchinterval(300.0)
+    try:
+        spinner = threading.Thread(target=spin)
+        spinner.start()
+        time.sleep(0.05)  # sleep releases the GIL: spinner enters its loop
+        start = count
+        for _ in range(100):
+            models.decode_slice(nbx, nby, data)
+        grown = count - start
+    finally:
+        stop = True
+        sys.setswitchinterval(old)
+        spinner.join()
+    assert grown > 1000, f"spinner starved during native decode (grew {grown})"
 
 
 @pytest.mark.skipif((os.cpu_count() or 1) < 4, reason="needs >= 4 cores")
