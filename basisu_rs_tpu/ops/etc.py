@@ -39,13 +39,19 @@ def etc1_palette(base_rgb, inten):
     """4-color ETC1 palette for a subblock: clamp(base + modifier) per level.
 
     base_rgb: [r,g,b] int32[N] (0..255); inten: int32[N] 0..7.
-    Returns [level k][channel c] nested list (etc.rs:420-431)."""
-    mods = np_tables()["ETC1_MODIFIERS"].reshape(-1)  # [8*4] int32
-    colors = []
-    for k in range(4):
-        m = lut_lookup(mods, inten * 4 + k)
-        colors.append([jnp.clip(base_rgb[c] + m, 0, 255) for c in range(3)])
-    return colors
+    Returns [level k][channel c] nested list (etc.rs:420-431).
+
+    Every modifier row is [-big, -small, small, big], so one gather of the
+    packed (small | big<<8) magnitudes replaces four table lookups; the
+    signs are static per level."""
+    mods = np_tables()["ETC1_MODIFIERS"]  # [8, 4] int32, rows [-b,-s,s,b]
+    assert (mods[:, 0] == -mods[:, 3]).all() and (mods[:, 1] == -mods[:, 2]).all()
+    packed = (mods[:, 2] | (mods[:, 3] << 8)).astype(np.int32)  # [8]
+    w = lut_lookup(packed, inten)
+    small = w & 255
+    big = w >> 8
+    deltas = (-big, -small, small, big)
+    return [[jnp.clip(base_rgb[c] + deltas[k], 0, 255) for c in range(3)] for k in range(4)]
 
 
 def selector_ms_ls(sel):

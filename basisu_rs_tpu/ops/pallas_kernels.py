@@ -36,11 +36,13 @@ from . import bits
 LANE = 128
 ROWS = 16  # default: 16 x 128 = 2048 blocks per grid step
 
-# Measured per-target grid tiles (v5e, ROWS sweep over 8/16/32/64): every
-# target prefers 32-row tiles except BC7, where 16 wins on the slow
-# multi-subset modes.  Larger tiles amortize grid/pipeline overhead; BC7's
-# bigger live-value footprint favors the smaller tile.
-ROWS_BY_TARGET = {"bc7": 16, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
+# Measured grid tiles (v5e; tools/autotune_tiles.py reproduces the sweep):
+# 32-row tiles win on every target.  Per-mode 16-vs-32 deltas from single
+# sweeps sit inside the shared-tunnel run-to-run noise, but back-to-back
+# full-aggregate A/B separates cleanly (BC7: 61.9 @ 16 vs 66.0 @ 32
+# Gtex/s).  Larger tiles amortize grid/pipeline overhead; 8-row tiles are
+# uniformly worst.
+ROWS_BY_TARGET = {"bc7": 32, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
 
 
 def rows_for_target(target: str) -> int:

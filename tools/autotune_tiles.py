@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Re-derive the per-target Pallas grid tiles (ops/pallas_kernels.ROWS_BY_TARGET)
+on the attached hardware.
+
+Sweeps row-tile candidates over a representative mode subset per target using
+bench.py's contention-robust chained-loop timing, prints a per-(target, mode)
+table plus the per-target winner by aggregate time.  Run on new hardware (or
+after major kernel changes) and update ROWS_BY_TARGET if the winners move:
+
+    python tools/autotune_tiles.py [--rows 8,16,32,64] [--n 1048576]
+
+Findings that produced the current table (v5e, 2026-08): every target prefers
+32-row tiles except BC7 (16); light kernels are pipeline-overhead-bound and
+noisy between 16/32, heavy kernels separate cleanly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent.parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# heavy + light + multi-subset modes: enough spread to pick a tile
+PROBE_MODES = {
+    "bc7": (2, 3, 5, 9, 17),
+    "rgba": (0, 9, 15),
+    "astc": (0, 9),
+    "etc1": (0, 9, 18),
+    "etc2": (0, 9, 14, 18),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", default="16,32", help="comma-separated candidates")
+    ap.add_argument("--n", type=int, default=1 << 21, help="batch size in blocks")
+    ap.add_argument("--targets", default=",".join(PROBE_MODES))
+    args = ap.parse_args()
+    candidates = [int(r) for r in args.rows.split(",")]
+
+    import bench
+    from basisu_rs_tpu.ops.bits import lanes_from_bytes_np
+    from basisu_rs_tpu.ops.dispatch import block_modes
+    from basisu_rs_tpu.ops.pallas_kernels import LANE, _pallas_build
+
+    blocks = bench.build_batch(args.n)
+    modes = block_modes(blocks)
+    lanes = lanes_from_bytes_np(blocks, 4)
+
+    def rate(target, mode_id, rows):
+        idx = np.nonzero(modes == mode_id)[0]
+        n = len(idx)
+        build, tables, _ = _pallas_build(target, mode_id, rows)
+        tile = rows * LANE
+        n_pad = ((n + tile - 1) // tile) * tile
+        import jax.numpy as jnp
+        from functools import partial
+
+        xp = jnp.zeros((n_pad, 4), jnp.uint32).at[:n].set(jnp.asarray(lanes[idx]))
+        call = build(n_pad // LANE)
+
+        @partial(jax.jit, static_argnums=1)
+        def chained(x, reps):
+            def body(i, c):
+                planes = [(x[:, w] ^ c).reshape(n_pad // LANE, LANE) for w in range(4)]
+                return call(*planes, *tables)[0][0, 0]
+
+            return jax.lax.fori_loop(0, reps, body, jnp.uint32(0))
+
+        per = bench._measure_chained(chained, xp)
+        return n_pad / per
+
+    for target in args.targets.split(","):
+        totals = {r: 0.0 for r in candidates}
+        for mode_id in PROBE_MODES[target]:
+            line = [f"{target} mode {mode_id:2d}:"]
+            for rows in candidates:
+                r = rate(target, mode_id, rows)
+                totals[rows] += 1.0 / r  # aggregate = harmonic combination
+                line.append(f"rows {rows}: {r/1e6:7.1f} Mblk/s")
+            print("  ".join(line), flush=True)
+        best = min(totals, key=totals.get)
+        print(f"==> {target}: best tile {best} rows "
+              f"({'; '.join(f'{r}: {totals[r]*1e9:.3f}ns/blk' for r in candidates)})", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
