@@ -30,7 +30,16 @@ from . import bits
 from .bits import U32, gather_chunked
 
 LANE = 128
-ROWS = 8
+ROWS = 8  # legacy default; see rows_for_kind
+
+# Measured per-kind grid tiles (v5e sweep over 8/16/32): the RGBA kernels
+# prefer 32-row tiles (37.9 -> 67.8 Gtex/s vs the old 8), the tiny ETC1
+# repack peaks at 16 (80.6 -> 104.6).  8-row tiles are uniformly worst.
+ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16}
+
+
+def rows_for_kind(kind: str) -> int:
+    return ROWS_BY_KIND.get(kind, ROWS)
 
 I32 = jnp.int32
 
@@ -65,19 +74,27 @@ def pack_wire_np(wire: np.ndarray) -> np.ndarray:
     return _pad_chunks(wire.astype(np.uint32))
 
 
+def _packed_mods_np() -> np.ndarray:
+    """int32 [8]: (small | big<<8) modifier magnitudes per intensity row -
+    rows are [-big, -small, small, big], so one gather serves all 4 levels."""
+    mods = np_tables()["ETC1_MODIFIERS"]
+    return (mods[:, 2] | (mods[:, 3] << 8)).astype(np.int32)
+
+
 def _palette(ep_word):
     """ep packed word [R,128] -> (pal[level][channel] int32, base expanded)."""
-    mods = np_tables()["ETC1_MODIFIERS"].reshape(-1)
     r5 = (ep_word & 31).astype(I32)
     g5 = ((ep_word >> 5) & 31).astype(I32)
     b5 = ((ep_word >> 10) & 31).astype(I32)
     inten = ((ep_word >> 15) & 7).astype(I32)
     base = [(c << 3) | (c >> 2) for c in (r5, g5, b5)]
-    pal = []
-    for k in range(4):
-        m = bits.lut_lookup(mods, inten * 4 + k)
-        pal.append([jnp.clip(base[c] + m, 0, 255) for c in range(3)])
-    return pal
+    w = bits.lut_lookup(_packed_mods_np(), inten)
+    small = w & 255
+    big = w >> 8
+    return [
+        [jnp.clip(base[c] + d, 0, 255) for c in range(3)]
+        for d in (-big, -small, small, big)
+    ]
 
 
 def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
@@ -106,8 +123,9 @@ def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
 @lru_cache(maxsize=None)
 def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: bool):
     out_words = {"rgba": 16, "alpha": 16, "etc1": 2}[kind]
+    rows = rows_for_kind(kind)
 
-    mods_np = np_tables()["ETC1_MODIFIERS"].reshape(-1)
+    mods_np = _packed_mods_np()
 
     def kernel(*refs):
         ep_tab, sel_tab, ep_idx_ref, sel_idx_ref, mods_ref = refs[:5]
@@ -133,8 +151,8 @@ def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: b
                 sel_words = gather_chunked(sel_tab[...], sel_idx)
                 _rgba_kernel_body(ep_words, sel_words, out_refs, kind == "alpha")
 
-    grid = (pl.cdiv(n_rows, ROWS),)
-    idx_spec = pl.BlockSpec((ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (pl.cdiv(n_rows, rows),)
+    idx_spec = pl.BlockSpec((rows, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -148,7 +166,7 @@ def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: b
 
 def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
     n = len(ep_idx_np)
-    tile = ROWS * LANE
+    tile = rows_for_kind(kind) * LANE
     n_pad = ((n + tile - 1) // tile) * tile
     # bucket the padded length to a power of two: per-mip slice sizes vary,
     # and each distinct shape would otherwise be a fresh Mosaic compile
@@ -161,7 +179,7 @@ def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
     sel_idx = np.zeros(n_pad, np.int32)
     sel_idx[:n] = sel_idx_np
     call = _build(kind, ep_tab_np.shape[0], sel_tab_np.shape[0], n_pad // LANE, interpret)
-    mods_np = np_tables()["ETC1_MODIFIERS"].reshape(-1)
+    mods_np = _packed_mods_np()
     outs = call(
         jnp.asarray(ep_tab_np),
         jnp.asarray(sel_tab_np),

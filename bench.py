@@ -187,13 +187,13 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     from basisu_rs_tpu.ops.etc1s import selector_wire_words_np
     from basisu_rs_tpu.ops.etc1s_pallas import (
         LANE as EL,
-        ROWS as ER,
         _build,
+        _packed_mods_np,
         pack_endpoints_np,
         pack_selectors_np,
         pack_wire_np,
+        rows_for_kind,
     )
-    from basisu_rs_tpu.tables import np_tables
 
     rng = np.random.default_rng(5)
     endpoints = np.zeros((e, 4), np.uint8)
@@ -203,15 +203,16 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     ep_idx = rng.integers(0, e, n).astype(np.int32)
     sel_idx = rng.integers(0, s, n).astype(np.int32)
     ep_tab = jnp.asarray(pack_endpoints_np(endpoints))
-    mods = jnp.asarray(bits.pad_table_for_kernel(np_tables()["ETC1_MODIFIERS"].reshape(-1)))
-    n_pad = ((n + ER * EL - 1) // (ER * EL)) * (ER * EL)
-    epi = jnp.asarray(np.resize(ep_idx, n_pad).reshape(-1, EL))
-    seli = jnp.asarray(np.resize(sel_idx, n_pad).reshape(-1, EL))
+    mods = jnp.asarray(bits.pad_table_for_kernel(_packed_mods_np()))
     rates = {}
     for kind, tab in (
         ("rgba", jnp.asarray(pack_selectors_np(selectors))),
         ("etc1", jnp.asarray(pack_wire_np(selector_wire_words_np(selectors)))),
     ):
+        tile = rows_for_kind(kind) * EL
+        n_pad = ((n + tile - 1) // tile) * tile
+        epi = jnp.asarray(np.resize(ep_idx, n_pad).reshape(-1, EL))
+        seli = jnp.asarray(np.resize(sel_idx, n_pad).reshape(-1, EL))
         call = _build(kind, ep_tab.shape[0], tab.shape[0], n_pad // EL, False)
 
         @partial(jax.jit, static_argnums=2)

@@ -83,6 +83,44 @@ def test_fl_div255_exact_on_tpu_xla_and_pallas():
 
 
 @requires_tpu
+def test_etc1s_kernels_on_tpu():
+    """Compiled-Mosaic ETC1S back-ends vs the XLA reference path on real
+    hardware (the hermetic suite covers them in interpret mode only)."""
+    import jax.numpy as jnp
+
+    from basisu_rs_tpu.ops.etc1s import _jitted, selector_wire_words_np
+    from basisu_rs_tpu.ops.etc1s_pallas import etc1s_etc1_pallas, etc1s_rgba_pallas
+
+    rng = np.random.default_rng(23)
+    e, s, n = 300, 200, 5000
+    endpoints = np.zeros((e, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+    endpoints[:, 3] = rng.integers(0, 8, e)
+    selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+    ep_idx = rng.integers(0, e, n).astype(np.int32)
+    sel_idx = rng.integers(0, s, n).astype(np.int32)
+
+    got = np.asarray(etc1s_rgba_pallas(endpoints, selectors, ep_idx, sel_idx))[:n]
+    ref = np.asarray(
+        _jitted("rgba")(
+            jnp.asarray(endpoints), jnp.asarray(selectors),
+            jnp.asarray(ep_idx), jnp.asarray(sel_idx),
+        )
+    )
+    np.testing.assert_array_equal(got, ref)
+
+    wire = selector_wire_words_np(selectors)
+    got1 = np.asarray(etc1s_etc1_pallas(endpoints, wire, ep_idx, sel_idx))[:n]
+    ref1 = np.asarray(
+        _jitted("etc1")(
+            jnp.asarray(endpoints), jnp.asarray(wire),
+            jnp.asarray(ep_idx), jnp.asarray(sel_idx),
+        )
+    )
+    np.testing.assert_array_equal(got1, ref1)
+
+
+@requires_tpu
 def test_sharded_mode_step_on_tpu(golden):
     """The production sharded step (pallas inside shard_map) on the attached
     chip(s): bit parity with the host-partitioned path."""
