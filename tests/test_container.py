@@ -109,6 +109,39 @@ def test_corrupt_header_crc_rejected(uastc_file):
         read_to_bc7(bytes(bad))
 
 
+def test_mutation_fuzz_never_crashes(uastc_file, etc1s_setup):
+    """Random single/multi-byte corruptions of valid .basis files must
+    either decode or raise BasisError - never raise anything else or abort
+    (the reference's corrupt-stream contract: Err, not panic, for malformed
+    input reachable through the public API; graceful bit-edge semantics are
+    pinned elsewhere).  CRC checks catch most mutations; the interesting
+    survivors are mutations inside the CRC-exempt header bytes and
+    truncations."""
+    _, ubuf = uastc_file
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    ebuf = write_etc1s_basis(
+        endpoints,
+        selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=4 * nbx, orig_height=4 * nby)],
+    )
+    rng = np.random.default_rng(99)
+    for buf in (ubuf, ebuf):
+        for _ in range(60):
+            bad = bytearray(buf)
+            for _ in range(int(rng.integers(1, 4))):
+                bad[int(rng.integers(0, len(bad)))] ^= int(rng.integers(1, 256))
+            try:
+                read_to_rgba(bytes(bad))
+            except BasisError:
+                pass
+        for cut in rng.integers(0, len(buf), 20):
+            try:
+                read_to_rgba(bytes(buf[: int(cut)]))
+            except BasisError:
+                pass
+
+
 def test_bad_sig_rejected(uastc_file):
     _, buf = uastc_file
     bad = b"XX" + buf[2:]
