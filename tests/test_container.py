@@ -142,6 +142,39 @@ def test_mutation_fuzz_never_crashes(uastc_file, etc1s_setup):
                 pass
 
 
+def test_file_level_invalid_block_messages(uastc_file):
+    """read_to_* aborts with the FIRST failing block's own message, exactly
+    as the reference's transcode loop propagates it (uastc.rs:148-165 with
+    the two per-block Err sites uastc.rs:336 and uastc.rs:364)."""
+    from basisu_rs_tpu.tables import MODES
+
+    blocks, _ = uastc_file
+    # first failing block = invalid mode (MODE_LUT entry 19)
+    bad = np.array(blocks, np.uint8)
+    bad[3] = 0
+    bad[3][0] = 69
+    buf = write_uastc_basis([dict(blocks=bad, nbx=6, nby=4, orig_width=24, orig_height=16)])
+    for fn in (read_to_bc7, read_to_rgba, read_to_astc, read_to_etc1, read_to_etc2):
+        with pytest.raises(BasisError, match="^invalid mode index$"):
+            fn(buf)
+
+    # first failing block = out-of-range pattern index (mode 2, pattern 31)
+    cfg = MODES[2]
+    pat_block = bytearray(16)
+    pat_block[0] = 0x1D
+    ofs = cfg.field_offsets["pattern"]
+    for b in range(5):
+        bit = ofs + b
+        pat_block[bit // 8] |= 1 << (bit % 8)
+    bad2 = np.array(blocks, np.uint8)
+    bad2[2] = np.frombuffer(bytes(pat_block), np.uint8)
+    bad2[5] = 0
+    bad2[5][0] = 69  # later invalid-mode block must NOT win over block 2
+    buf2 = write_uastc_basis([dict(blocks=bad2, nbx=6, nby=4, orig_width=24, orig_height=16)])
+    with pytest.raises(BasisError, match="^block pattern is not valid$"):
+        read_to_bc7(buf2)
+
+
 def test_bad_sig_rejected(uastc_file):
     _, buf = uastc_file
     bad = b"XX" + buf[2:]

@@ -18,6 +18,49 @@ def _codebooks(rng, e, s):
     return endpoints, selectors
 
 
+def test_internal_asserts_are_catchable_basis_errors():
+    """The reference's decode_blocks uses assert!/panic for prediction-edge
+    violations and out-of-range decoded indices (mod.rs:303-310, 443-444) -
+    the process aborts.  This build surfaces them as Etc1sError, a catchable
+    BasisError subclass (COMPAT.md item 5), on both front-ends."""
+    from basisu_rs_tpu.api import BasisError
+    from basisu_rs_tpu.container.etc1s_frontend import Etc1sError
+    from basisu_rs_tpu.container.writer import (
+        BitWriterLsb,
+        encode_etc1s_endpoint_codebook,
+        encode_etc1s_selector_codebook,
+        equal_length_sizes,
+        write_huffman_table,
+    )
+
+    assert issubclass(Etc1sError, BasisError)
+
+    rng = np.random.default_rng(7)
+    endpoints, selectors = _codebooks(rng, 4, 4)
+    ep_cb = encode_etc1s_endpoint_codebook(endpoints)
+    sel_cb = encode_etc1s_selector_codebook(selectors)
+    tw = BitWriterLsb()
+    pred_enc = write_huffman_table(tw, equal_length_sizes(257))
+    write_huffman_table(tw, equal_length_sizes(4))  # delta model
+    write_huffman_table(tw, equal_length_sizes(5))  # selector model (S + H + 1)
+    write_huffman_table(tw, equal_length_sizes(64))  # history RLE model
+    tw.write(13, 0)  # history buffer size 0
+    tables = tw.getvalue()
+
+    # pred 0 (left) at column 0 / pred 1 (above) at row 0 / pred 2
+    # (above-left, non-video) at the edge: all assert! sites in the reference
+    for sym in (0, 1, 2):
+        w = BitWriterLsb()
+        pred_enc.encode(w, sym)  # block (0,0) takes the symbol's low 2 bits
+        payload = w.getvalue()
+        for use_native in (True, False):
+            dec = Etc1sDecoder(
+                4, 4, ep_cb, sel_cb, tables, is_video=False, use_native=use_native
+            )
+            with pytest.raises(Etc1sError, match="predictor"):
+                dec.decode_slice(1, 1, payload)
+
+
 @pytest.mark.parametrize("seed,hist,video", [
     (0, 0, False),
     (1, 16, False),

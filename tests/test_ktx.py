@@ -100,6 +100,20 @@ def test_ktx_rgba_rows_cropped_to_orig_width():
     assert len(blob) % 4 == 0  # row payload padded to 4
 
 
+def test_ktx_rejects_non_halving_mip_chain():
+    """KTX loaders derive level-N dims as max(1, level0 >> N); a chain that
+    doesn't halve would emit imageSizes that disagree with loader-derived
+    dimensions, so the writer must reject it."""
+    from basisu_rs_tpu import read_to_bc7
+
+    images = read_to_bc7(_basis_with_mips())
+    # images: 8x8 (img0 lvl0), 4x4 (img0 lvl1), 3x3 (img1 lvl0)
+    with pytest.raises(ValueError, match="mip level 1"):
+        write_ktx([images[0], images[2]], "bc7")
+    # the conforming chain still serializes
+    assert write_ktx([images[0], images[1]], "bc7")
+
+
 def test_ktx_rejects_unmapped_target():
     with pytest.raises(ValueError):
         write_ktx([], "bc7")

@@ -9,9 +9,11 @@ after major kernel changes) and update ROWS_BY_TARGET if the winners move:
 
     python tools/autotune_tiles.py [--rows 8,16,32,64] [--n 1048576]
 
-Findings that produced the current table (v5e, 2026-08): every target prefers
-32-row tiles except BC7 (16); light kernels are pipeline-overhead-bound and
-noisy between 16/32, heavy kernels separate cleanly.
+Findings that produced the current table (v5e, 2026-08): 32-row tiles win on
+every target, including BC7.  Per-mode 16-vs-32 sweeps for BC7 are noisy
+(inside the shared-tunnel run-to-run drift), but the back-to-back full
+aggregate A/B separates cleanly (61.9 @ 16 vs 66.0 @ 32 Gtex/s) — per
+CLAUDE.md, trust the aggregate A/B over single-mode sweeps when retuning.
 """
 
 from __future__ import annotations
@@ -81,17 +83,24 @@ def main() -> int:
         return n_pad / per
 
     for target in args.targets.split(","):
+        # Weight each mode's seconds-per-block by its block count in the probe
+        # batch, so the aggregate reflects the corpus mode mix rather than
+        # over-weighting rare modes.
         totals = {r: 0.0 for r in candidates}
+        n_total = 0
         for mode_id in PROBE_MODES[target]:
+            n_mode = int((modes == mode_id).sum())
+            n_total += n_mode
             line = [f"{target} mode {mode_id:2d}:"]
             for rows in candidates:
                 r = rate(target, mode_id, rows)
-                totals[rows] += 1.0 / r  # aggregate = harmonic combination
+                totals[rows] += n_mode / r  # seconds for this mode's share
                 line.append(f"rows {rows}: {r/1e6:7.1f} Mblk/s")
             print("  ".join(line), flush=True)
         best = min(totals, key=totals.get)
-        print(f"==> {target}: best tile {best} rows "
-              f"({'; '.join(f'{r}: {totals[r]*1e9:.3f}ns/blk' for r in candidates)})", flush=True)
+        print(f"==> {target}: best tile {best} rows, probe-mix-weighted "
+              f"({'; '.join(f'{r}: {totals[r]/n_total*1e9:.3f}ns/blk' for r in candidates)})",
+              flush=True)
     return 0
 
 

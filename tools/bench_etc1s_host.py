@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Single-core throughput of the native ETC1S entropy front-end
+(etc1s_decode_slice), in Mblocks/s.
+
+This is the host side of the ETC1S pipeline budget: the sequential
+prediction/entropy state machine runs one slice per core while the device
+kernels (ops/etc1s_pallas.py) consume the emitted index tensors at
+multi-Gblk/s per chip.  Run before/after native/etc1s.cpp changes:
+
+    python tools/bench_etc1s_host.py [--blocks 1048576] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def make_slice(nbx: int, nby: int, e: int = 512, s: int = 384, hist: int = 32,
+               seed: int = 9):
+    from basisu_rs_tpu.container.basis import read_header, read_slice_descs
+    from basisu_rs_tpu.container.writer import write_etc1s_basis_fuzz
+    from basisu_rs_tpu import native
+
+    rng = np.random.default_rng(seed)
+    endpoints = np.zeros((e, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+    endpoints[:, 3] = rng.integers(0, 8, e)
+    selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+    buf, exp_ep, exp_sel = write_etc1s_basis_fuzz(
+        endpoints, selectors, nbx, nby, hist, seed=seed
+    )
+    h = read_header(buf)
+    desc = read_slice_descs(buf, h)[0]
+    models = native.NativeEtc1sModels(
+        buf[h.tables_file_ofs : h.tables_file_ofs + h.tables_file_size],
+        h.total_endpoints, h.total_selectors, False,
+    )
+    return models, desc.data(buf), exp_ep, exp_sel
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=1 << 20)
+    ap.add_argument("--reps", type=int, default=5)
+    args = ap.parse_args()
+
+    nbx = 1024
+    nby = args.blocks // nbx
+    models, data, exp_ep, exp_sel = make_slice(nbx, nby)
+    n = nbx * nby
+
+    # correctness anchor before timing
+    ep, sel = models.decode_slice(nbx, nby, data)
+    np.testing.assert_array_equal(ep, exp_ep)
+    np.testing.assert_array_equal(sel, exp_sel)
+
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        models.decode_slice(nbx, nby, data)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{n} blocks, best of {args.reps}: {n / best / 1e6:.1f} Mblk/s/core")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
