@@ -111,8 +111,9 @@ def _scaled(total_bits: int, x):
 
 
 def _select_quantized(xpairs, pb, total_comps):
+    m = pb == 1  # hoisted: one compare shared across channels
     sel = [
-        (jnp.where(pb == 1, xpairs[c][1], xpairs[c][0]) >> 1).astype(I32)
+        (jnp.where(m, xpairs[c][1], xpairs[c][0]) >> 1).astype(I32)
         for c in range(total_comps)
     ]
     # untouched channels are never emitted (emission loops over cc only)
@@ -290,27 +291,50 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
         writer.put(bc7_pat, ofs, bm.pat_bits)
         ofs += bm.pat_bits
 
-        # permute endpoints: BC7 subset j <- UASTC subset perm[j] (bc7.rs:163-169)
+        # permute endpoints: BC7 subset j <- UASTC subset perm[j] (bc7.rs:163-169).
+        # The permutation masks are per-block: hoist one compare set per j and
+        # share it across all 8 (lo/hi x channel) selects (Mosaic does not
+        # CSE repeated compares); channels whose endpoint objects are
+        # identical across subsets (RGB alpha) skip the select entirely.
         for j in range(nsub7):
             pj = (perm_packed >> (4 * j)) & 15
+            pj_m = [pj == s for s in range(1, cfg.subset_count)]
             for k, dst in ((0, e_lo), (1, e_hi)):
                 for c in range(4):
-                    dst[j][c] = _dyn_select([pairs[s][k][c] for s in range(cfg.subset_count)], pj)
+                    if all(
+                        pairs[s][k][c] is pairs[0][k][c]
+                        for s in range(cfg.subset_count)
+                    ):
+                        dst[j][c] = pairs[0][k][c]
+                        continue
+                    v = pairs[0][k][c]
+                    for s in range(1, cfg.subset_count):
+                        v = jnp.where(pj_m[s - 1], pairs[s][k][c], v)
+                    dst[j][c] = v
 
         # swap endpoints + invert weights where the anchor MSB is set
-        # (bc7.rs:171-195)
-        inv = [
+        # (bc7.rs:171-195).  Subset 0's anchor is always texel 0
+        # (bc7_anchor_vals[0] == 0): read it directly, no 15-way select.
+        inv = [((w[0][0] >> (wb7 - 1)) & 1).astype(bool)] + [
             ((_dyn_select(w[0], bc7_anchor_vals[s]) >> (wb7 - 1)) & 1).astype(bool)
-            for s in range(nsub7)
+            for s in range(1, nsub7)
         ]
         for j in range(nsub7):
             for c in range(4):
                 lo, hi = e_lo[j][c], e_hi[j][c]
+                if lo is hi:
+                    continue  # constant channel: swap is the identity
                 e_lo[j][c] = jnp.where(inv[j], hi, lo)
                 e_hi[j][c] = jnp.where(inv[j], lo, hi)
+        # invert = conditional bit-flip: w ^ (inv * wmask) beats the
+        # compare/not/select chain, and the subset masks hoist per texel
+        inv_masks = [inv[s].astype(I32) * wmask7 for s in range(nsub7)]
         for i in range(16):
-            inv_i = _dyn_select([inv[s].astype(I32) for s in range(nsub7)], subs7[i])
-            w[0][i] = jnp.where(inv_i == 1, (~w[0][i]) & wmask7, w[0][i])
+            s_i = subs7[i]
+            m = inv_masks[0]
+            for s in range(1, nsub7):
+                m = jnp.where(s_i == s, inv_masks[s], m)
+            w[0][i] = w[0][i] ^ m
     else:
         for c in range(4):
             e_lo[0][c] = pairs[0][0][c]
@@ -319,18 +343,26 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
             invb = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
             for c in range(4):
                 lo, hi = e_lo[0][c], e_hi[0][c]
+                if lo is hi:
+                    continue  # constant channel: swap is the identity
                 e_lo[0][c] = jnp.where(invb, hi, lo)
                 e_hi[0][c] = jnp.where(invb, lo, hi)
+            invm = invb.astype(I32) * wmask7  # conditional bit-flip mask
             for i in range(16):
-                w[0][i] = jnp.where(invb, (~w[0][i]) & wmask7, w[0][i])
+                w[0][i] = w[0][i] ^ invm
         else:
-            # channel rotation: swap compsel channel with alpha (bc7.rs:216-219)
+            # channel rotation: swap compsel channel with alpha (bc7.rs:216-219);
+            # one hoisted compare set shared by the lo/hi rotations
             cs = f.compsel
+            cs_m = [cs == c for c in range(3)]
             for dst in (e_lo[0], e_hi[0]):
                 old = list(dst)
                 for c in range(3):
-                    dst[c] = jnp.where(cs == c, old[3], old[c])
-                dst[3] = _dyn_select(old, cs)
+                    dst[c] = jnp.where(cs_m[c], old[3], old[c])
+                a = jnp.where(cs_m[0], old[0], old[3])  # cs == 3 -> alpha stays
+                for c in range(1, 3):
+                    a = jnp.where(cs_m[c], old[c], a)
+                dst[3] = a
             inv0 = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
             inv1 = ((w[1][0] >> (wb7 - 1)) & 1).astype(bool)
             for c in range(4):
@@ -342,8 +374,9 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
             e_lo[0][3] = jnp.where(diff, ya, xa)
             e_hi[0][3] = jnp.where(diff, xa, ya)
             for plane, invp in ((0, inv0), (1, inv1)):
+                invm = invp.astype(I32) * wmask7
                 for i in range(16):
-                    w[plane][i] = jnp.where(invp, (~w[plane][i]) & wmask7, w[plane][i])
+                    w[plane][i] = w[plane][i] ^ invm
             writer.put(((cs + 1) & 3).astype(U32), ofs, 2)
             ofs += 2
             if bm.id == 4:

@@ -146,8 +146,19 @@ def write_etc2_alpha_block(etc2tm, texels):
     # general path
     tbl_idx = etc2tm & 15
     mult = etc2tm >> 4
-    mods_flat = t["ETC2_ALPHA_MODIFIERS"].reshape(-1)
-    mods = [lut_lookup(mods_flat, tbl_idx * 8 + j) for j in range(8)]
+    # The 8 per-table modifiers ride TWO packed gathers instead of eight:
+    # each row's modifiers are biased +15 (range -15..14 -> 0..29) and
+    # packed 4-per-word as 8-bit fields; the bias folds into the center
+    # term once per block (values come out as (center - 15*mult) + u*mult).
+    mods_np = t["ETC2_ALPHA_MODIFIERS"] + 15  # [16, 8], 0..29
+    packed_mods = [
+        np.ascontiguousarray(
+            mods_np[:, 4 * h] | (mods_np[:, 4 * h + 1] << 8)
+            | (mods_np[:, 4 * h + 2] << 16) | (mods_np[:, 4 * h + 3] << 24)
+        )
+        for h in range(2)
+    ]
+    w01 = [lut_lookup(p, tbl_idx) for p in packed_mods]
     frac = lut_lookup(t["ETC2_ALPHA_FRACTION"], tbl_idx)
 
     # center = round(lerp(min, max, frac)) in f32, round half away from zero
@@ -156,7 +167,11 @@ def write_etc2_alpha_block(etc2tm, texels):
     lerped = min_a.astype(f32) * (f32(1.0) - frac) + max_a.astype(f32) * frac
     center = jnp.trunc(lerped + f32(0.5)).astype(I32)
 
-    values = [jnp.clip(center + mods[j] * mult, 0, 255) for j in range(8)]
+    cbase = center - 15 * mult
+    values = [
+        jnp.clip(cbase + ((w01[j >> 2] >> (8 * (j & 3))) & 255) * mult, 0, 255)
+        for j in range(8)
+    ]
 
     # Selector search as a rank count over the value-sorted candidate order
     # [3,2,1,0,4,5,6,7] (modifier rows are strictly decreasing then strictly
@@ -216,13 +231,23 @@ def write_etc2_alpha_block(etc2tm, texels):
 # ---------------------------------------------------------------------------
 
 
-def _apply_etc1_bias(color, bias, limit, subblock: int):
-    """color: [3] list of int32[N]; bias: int32[N]; limit: int32[N] (15/31)."""
-    deltas = np_tables()["ETC_BIAS_DELTAS"]  # [32, 2, 3]
+def _packed_bias_deltas(bias):
+    """ONE gather for all six (subblock, channel) bias deltas: values are
+    -2..1, biased +2 into 2-bit fields of a single 32-entry packed word."""
+    deltas = np_tables()["ETC_BIAS_DELTAS"].astype(np.int32) + 2  # 0..3
+    packed = np.zeros(32, np.int32)
+    for sb in range(2):
+        for c in range(3):
+            packed |= deltas[:, sb, c] << (2 * (3 * sb + c))
+    return lut_lookup(packed, bias)
+
+
+def _apply_etc1_bias(color, packed_deltas, limit, subblock: int):
+    """color: [3] list of int32[N]; packed_deltas: int32[N] from
+    _packed_bias_deltas; limit: int32[N] (15/31)."""
     out = []
     for c in range(3):
-        # subblock/channel are static: index a 32-entry (single-chunk) slice
-        delta = lut_lookup(np.ascontiguousarray(deltas[:, subblock, c]), bias)
+        delta = ((packed_deltas >> (2 * (3 * subblock + c))) & 3) - 2
         v = color[c]
         at_zero = jnp.where(delta == -2, v + 3, v + delta + 1)
         at_limit = v + delta - 1
@@ -274,8 +299,12 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
     shape = lane_shape(lanes)
     etc1f = flags["etc1f"]
     etc1d = flags["etc1d"]
+    # hoist the per-block flag masks: they are reused by every subblock /
+    # texel select below and Mosaic does not CSE repeated compares
+    fm = etc1f == 1
+    dm = etc1d == 1
 
-    limit = jnp.where(etc1d == 1, 31, 15)
+    limit = jnp.where(dm, 31, 15)
 
     # subblock channel sums via 2x2 quad partial sums (texels are raster
     # order: i = y*4 + x).  flip=1 subblocks are row pairs, flip=0 column
@@ -296,7 +325,7 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
         for c in range(3):
             row_sum = quads[sb][0][c] + quads[sb][1][c]  # flip: row pair sb
             col_sum = quads[0][sb][c] + quads[1][sb][c]  # !flip: column pair sb
-            ssum = jnp.where(etc1f == 1, row_sum, col_sum)
+            ssum = jnp.where(fm, row_sum, col_sum)
             # (sum*limit + 1020) // 2040; numerator <= 64260, where
             # floor(n/2040) == (n*32897)>>26 exactly (int32-safe) - avoids
             # XLA's generic integer division sequence
@@ -304,8 +333,9 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
         avgs.append(avg)
 
     if flags["etc1bias"] is not None:
-        c0 = _apply_etc1_bias(avgs[0], flags["etc1bias"], limit, 0)
-        c1 = _apply_etc1_bias(avgs[1], flags["etc1bias"], limit, 1)
+        packed_deltas = _packed_bias_deltas(flags["etc1bias"])
+        c0 = _apply_etc1_bias(avgs[0], packed_deltas, limit, 0)
+        c1 = _apply_etc1_bias(avgs[1], packed_deltas, limit, 1)
     else:
         c0, c1 = avgs
 
@@ -315,14 +345,14 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
     bytes_diff = [(c0[c] << 3) | (d[c] & 7) for c in range(3)]
     c1_diff = [c0[c] + d[c] for c in range(3)]
 
-    base0 = [jnp.where(etc1d == 1, color_5_to_8(c0[c]), color_4_to_8(c0[c])) for c in range(3)]
+    base0 = [jnp.where(dm, color_5_to_8(c0[c]), color_4_to_8(c0[c])) for c in range(3)]
     base1 = [
-        jnp.where(etc1d == 1, color_5_to_8(c1_diff[c]), color_4_to_8(c1[c])) for c in range(3)
+        jnp.where(dm, color_5_to_8(c1_diff[c]), color_4_to_8(c1[c])) for c in range(3)
     ]
     pal0 = etc1_palette(base0, flags["etc1i0"])
     pal1 = etc1_palette(base1, flags["etc1i1"])
 
-    color_bytes = [jnp.where(etc1d == 1, bytes_diff[c], bytes_ind[c]) for c in range(3)]
+    color_bytes = [jnp.where(dm, bytes_diff[c], bytes_ind[c]) for c in range(3)]
     byte3 = (flags["etc1i0"] << 5) | (flags["etc1i1"] << 2) | (etc1d << 1) | etc1f
     lane0 = (
         color_bytes[0].astype(U32)
@@ -357,9 +387,7 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
         for i in range(8):
             pos = sb * 8 + i
             tr = (pos % 4) * 4 + pos // 4
-            lum = lums_o[pos] if pos == tr else jnp.where(
-                etc1f == 1, lums_o[pos], lums_o[tr]
-            )
+            lum = lums_o[pos] if pos == tr else jnp.where(fm, lums_o[pos], lums_o[tr])
             # Palette lums are non-decreasing in k (modifier rows ascend, clip
             # is monotone), so the threshold hits are nested: c1 >= c2 >= c3
             # with sel = c1+c2+c3.  The wire bits collapse to boolean forms of
@@ -378,7 +406,7 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
                 contrib = selector_wire_bits_from(ms, ls, pid_flip)
             else:
                 contrib = jnp.where(
-                    etc1f == 1,
+                    fm,
                     selector_wire_bits_from(ms, ls, pid_flip),
                     selector_wire_bits_from(ms, ls, pid_nof),
                 )

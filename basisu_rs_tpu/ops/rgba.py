@@ -15,7 +15,7 @@ from ..tables import ModeCfg
 from .bits import lane_shape, U32
 from .uastc_decode import (
     assemble_endpoint_pairs,
-    astc_interpolate,
+    astc_interp_tail,
     decode_fields,
     decode_mode8_rgba,
     subsets_for_texels,
@@ -50,14 +50,25 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
     # same luminance arrays across LA's r/g/b, so an identity-keyed memo
     # folds their interpolations into one (or none: equal endpoints make
     # the ASTC lerp the identity - pinned exhaustively in test_tables).
-    # The cache value keeps the keyed operands alive so the id() keys can't
-    # be reused by a freed array within a texel's lifetime.
+    # The caches keep the keyed operands alive so the id() keys can't be
+    # reused by a freed array within a texel's lifetime.
+    #
+    # The (l<<6, h-l) halves of the lerp are per-BLOCK quantities: `pre`
+    # hoists them once per endpoint pair instead of once per texel (Mosaic
+    # does not CSE across the unrolled texel bodies; measured win on the
+    # ALU-bound ETC kernels).
+    pre = {}
+
     def interp(cache, l, h, w):
         if l is h:
             return l
+        pkey = (id(l), id(h))
+        if pkey not in pre:
+            pre[pkey] = (l << 6, h - l, l, h)
+        l64, d, _, _ = pre[pkey]
         key = (id(l), id(h), id(w))
         if key not in cache:
-            cache[key] = (astc_interpolate(l, h, w), l, h, w)
+            cache[key] = (astc_interp_tail(l64 + d * w), w)
         return cache[key][0]
 
     # LA dual-plane forces compsel = alpha (uastc.rs:343-350, mirrored by
@@ -75,6 +86,11 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                 cache = {}
                 texels.append([interp(cache, e0[c], e1[c], w) for c in range(4)])
         else:
+            # compsel masks are per-block: hoist the four compares out of the
+            # texel loop (Mosaic does not CSE them across texel bodies)
+            cs_mask = (
+                None if static_cs is not None else [f.compsel == c for c in range(4)]
+            )
             for i in range(16):
                 w0, w1 = wq[2 * i], wq[2 * i + 1]
                 px = []
@@ -86,13 +102,24 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                     if static_cs is not None:
                         wc = w1 if c == static_cs else w0
                     else:
-                        wc = jnp.where(f.compsel == c, w1, w0)
+                        wc = jnp.where(cs_mask[c], w1, w0)
                     px.append(interp(cache, e0[c], e1[c], wc))
                 texels.append(px)
     else:
         subsets = subsets_for_texels(cfg, f.pat)
+        # hoist the per-subset (l<<6, h-l) lerp halves once per block; the
+        # per-texel where-chains then select between these instead of the
+        # raw endpoints, dropping the per-texel shift+sub
+        l64s = [[pairs[s][0][c] << 6 for c in range(4)] for s in range(cfg.subset_count)]
+        ds = [
+            [pairs[s][1][c] - pairs[s][0][c] for c in range(4)]
+            for s in range(cfg.subset_count)
+        ]
         for i in range(16):
             s_i = subsets[i]
+            # one subset-mask set per texel, shared by every channel's
+            # where-chain (and by both lerp halves)
+            s_mask = [s_i == s for s in range(1, cfg.subset_count)]
             w = wq[i]
             px = []
             for c in range(4):
@@ -105,12 +132,12 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                     continue
                 # per-channel where-chains are fresh objects - no cross-
                 # channel sharing to memoize here
-                e0c = pairs[0][0][c]
-                e1c = pairs[0][1][c]
+                l64c = l64s[0][c]
+                dc = ds[0][c]
                 for s in range(1, cfg.subset_count):
-                    e0c = jnp.where(s_i == s, pairs[s][0][c], e0c)
-                    e1c = jnp.where(s_i == s, pairs[s][1][c], e1c)
-                px.append(astc_interpolate(e0c, e1c, w))
+                    l64c = jnp.where(s_mask[s - 1], l64s[s][c], l64c)
+                    dc = jnp.where(s_mask[s - 1], ds[s][c], dc)
+                px.append(astc_interp_tail(l64c + dc * w))
             texels.append(px)
     return texels, f.err
 

@@ -257,10 +257,17 @@ def unquant_weight(w, weight_bits: int):
     if weight_bits == 3:
         return 9 * w + (w >= 4)
     if weight_bits == 4:
-        return 4 * w + (w >= 4) + 2 * (w >= 8) + (w >= 12)
+        # correction (w>=4) + 2*(w>=8) + (w>=12) == q + (q>>1) for q = w>>2
+        q = w >> 2
+        return 4 * w + q + (q >> 1)
     if weight_bits == 5:
         return 2 * w + 2 * (w >= 16)
     raise ValueError(weight_bits)
+
+
+def astc_interp_tail(m):
+    """(m*4112 + 514) >> 18 for m = l*64 + (h-l)*w in [0, 16320]."""
+    return ((m << 12) + (m << 4) + 514) >> 18
 
 
 def astc_interpolate(l, h, w):
@@ -270,9 +277,13 @@ def astc_interpolate(l, h, w):
     The reference computes ((l*257)*(64-w) + (h*257)*w + 32) >> 14.  With
     m = l*64 + (h-l)*w (in [0, 16320]) this equals (m*4112 + 514) >> 18
     exactly (exhaustively pinned in test_tables), and 4112 = 2^12 + 2^4 is
-    two shifts - one variable multiply per channel instead of two."""
+    two shifts - one variable multiply per channel instead of two.
+
+    Per-block batch callers hoist (l<<6, h-l) once per endpoint pair and
+    apply astc_interp_tail per texel (ops/rgba.py) - Mosaic does not CSE
+    the per-texel recomputation away."""
     m = (l << 6) + (h - l) * w
-    return ((m << 12) + (m << 4) + 514) >> 18
+    return astc_interp_tail(m)
 
 
 def assemble_endpoint_pairs(cfg: ModeCfg, endpoints):
