@@ -275,9 +275,14 @@ def read_to_rgba(buf: bytes):
             raise BasisError("File has alpha, but slice count is odd")
         dec = make_etc1s_decoder(header, buf)
         pair = 2 if header.has_alpha else 1
+        # The host state machine runs serially per slice (format-mandated),
+        # but the codebooks are file-wide: concatenate every slice's index
+        # stream and issue ONE device launch per file instead of one per
+        # slice (mip tails would otherwise each pay a launch + pow2 pad).
+        rgb_descs = []
+        ep_parts, sel_parts, a_ep_parts, a_sel_parts = [], [], [], []
         for i in range(0, len(descs), pair):
             rgb_desc = descs[i]
-            alpha_pass = None
             if header.has_alpha:
                 alpha_desc = descs[i + 1]
                 if not alpha_desc.has_alpha:
@@ -290,23 +295,39 @@ def read_to_rgba(buf: bytes):
                 a = dec.decode_slice(
                     alpha_desc.num_blocks_x, alpha_desc.num_blocks_y, alpha_desc.data(buf)
                 )
-                alpha_pass = (a.endpoint_index, a.selector_index)
+                a_ep_parts.append(a.endpoint_index)
+                a_sel_parts.append(a.selector_index)
             s = dec.decode_slice(rgb_desc.num_blocks_x, rgb_desc.num_blocks_y, rgb_desc.data(buf))
+            ep_parts.append(s.endpoint_index)
+            sel_parts.append(s.selector_index)
+            rgb_descs.append(rgb_desc)
+        if rgb_descs:
+            alpha_pass = None
+            if header.has_alpha:
+                alpha_pass = (np.concatenate(a_ep_parts), np.concatenate(a_sel_parts))
             texels = run_etc1s_rgba(
-                dec.endpoints, dec.selectors, s.endpoint_index, s.selector_index, alpha_pass
+                dec.endpoints,
+                dec.selectors,
+                np.concatenate(ep_parts),
+                np.concatenate(sel_parts),
+                alpha_pass,
             )
-            data = _blocks_to_image_bytes(texels, rgb_desc.num_blocks_x)
-            # Rows of the decoded buffer are 4*num_blocks_x pixels wide
-            # (mod.rs:131); we report that true byte stride rather than the
-            # reference's orig_width-based value (basis.rs:46).
-            images.append(
-                Image(
-                    w=rgb_desc.orig_width,
-                    h=rgb_desc.orig_height,
-                    stride=4 * 4 * rgb_desc.num_blocks_x,
-                    data=data,
+            ofs = 0
+            for rgb_desc in rgb_descs:
+                n = rgb_desc.num_blocks_x * rgb_desc.num_blocks_y
+                data = _blocks_to_image_bytes(texels[ofs : ofs + n], rgb_desc.num_blocks_x)
+                ofs += n
+                # Rows of the decoded buffer are 4*num_blocks_x pixels wide
+                # (mod.rs:131); we report that true byte stride rather than
+                # the reference's orig_width-based value (basis.rs:46).
+                images.append(
+                    Image(
+                        w=rgb_desc.orig_width,
+                        h=rgb_desc.orig_height,
+                        stride=4 * 4 * rgb_desc.num_blocks_x,
+                        data=data,
+                    )
                 )
-            )
         return header, images
 
     if fmt == TexFormat.UASTC4x4:
@@ -371,17 +392,34 @@ def read_to_etc1(buf: bytes) -> list[Image]:
     descs = read_slice_descs(buf, header)
     dec = make_etc1s_decoder(header, buf)
     images = []
+    # one device launch per file: the codebooks are shared, so every
+    # slice's index stream concatenates into a single kernel dispatch
+    ep_parts, sel_parts = [], []
     for desc in descs:
         s = dec.decode_slice(desc.num_blocks_x, desc.num_blocks_y, desc.data(buf))
-        out = run_etc1s_etc1(dec.endpoints, dec.selectors, s.endpoint_index, s.selector_index)
-        images.append(
-            Image(
-                w=desc.orig_width,
-                h=desc.orig_height,
-                stride=ETC1S_BLOCK_SIZE * desc.num_blocks_x,
-                data=np.ascontiguousarray(out.astype("<u4")).view(np.uint8).reshape(-1),
-            )
+        ep_parts.append(s.endpoint_index)
+        sel_parts.append(s.selector_index)
+    if descs:
+        out = run_etc1s_etc1(
+            dec.endpoints,
+            dec.selectors,
+            np.concatenate(ep_parts),
+            np.concatenate(sel_parts),
         )
+        ofs = 0
+        for desc in descs:
+            n = desc.num_blocks_x * desc.num_blocks_y
+            images.append(
+                Image(
+                    w=desc.orig_width,
+                    h=desc.orig_height,
+                    stride=ETC1S_BLOCK_SIZE * desc.num_blocks_x,
+                    data=np.ascontiguousarray(out[ofs : ofs + n].astype("<u4"))
+                    .view(np.uint8)
+                    .reshape(-1),
+                )
+            )
+            ofs += n
     return images
 
 

@@ -115,3 +115,57 @@ class CorpusTranscoder:
     @property
     def profiler(self) -> Profiler:
         return self.inner.profiler
+
+
+class Etc1sCorpusTranscoder:
+    """ETC1S analog of CorpusTranscoder: many slices whose index streams
+    share ONE codebook pair (a .basis file's endpoints/selectors) batch into
+    a single device dispatch per target, then split back per slice.  The
+    file-level readers (container/basis.py read_to_rgba / read_to_etc1) use
+    the same batching inline; this class is the corpus-scale surface for
+    pipelines that hold decoded index streams directly.
+    Reference being batched: the per-slice loops of basis.rs:26-86.
+    """
+
+    def __init__(self, endpoints: np.ndarray, selectors: np.ndarray, target: str = "rgba"):
+        if target not in ("rgba", "etc1"):
+            raise BasisError(f"unsupported ETC1S corpus target {target!r}")
+        self.endpoints = np.asarray(endpoints, np.uint8)
+        self.selectors = np.asarray(selectors, np.uint8)
+        self.target = target
+        self.profiler = Profiler()
+
+    def transcode_slices(self, slices: list, alpha_slices: list | None = None):
+        """slices: list of (ep_idx, sel_idx) int index arrays (one per slice);
+        alpha_slices: optional parallel list for the RGBA target's paired
+        alpha pass (same lengths as `slices`).
+        Returns a list of per-slice outputs: uint32 [n_i, 16] packed RGBA
+        texels, or uint32 [n_i, 2] ETC1 lanes."""
+        from ..ops.etc1s import run_etc1s_etc1, run_etc1s_rgba
+
+        counts = [len(ep) for ep, _ in slices]
+        n = sum(counts)
+        ep = np.concatenate([np.asarray(e) for e, _ in slices])
+        sel = np.concatenate([np.asarray(s) for _, s in slices])
+        with self.profiler.stage(f"device/etc1s_{self.target}", texels=n * 16):
+            if self.target == "rgba":
+                alpha_pass = None
+                if alpha_slices is not None:
+                    a_counts = [len(e) for e, _ in alpha_slices]
+                    if a_counts != counts:
+                        raise BasisError(
+                            "RGB slice and Alpha slice have different dimensions"
+                        )
+                    alpha_pass = (
+                        np.concatenate([np.asarray(e) for e, _ in alpha_slices]),
+                        np.concatenate([np.asarray(s) for _, s in alpha_slices]),
+                    )
+                out = run_etc1s_rgba(self.endpoints, self.selectors, ep, sel, alpha_pass)
+            else:
+                out = run_etc1s_etc1(self.endpoints, self.selectors, ep, sel)
+        outs = []
+        ofs = 0
+        for c in counts:
+            outs.append(out[ofs : ofs + c])
+            ofs += c
+        return outs

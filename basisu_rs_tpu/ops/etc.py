@@ -190,8 +190,12 @@ def write_etc2_alpha_block(etc2tm, texels):
     mult0 = mult == 0
     dup34 = W[3] == W[4]
 
-    lane0 = (center.astype(U32) & 0xFF) | (etc2tm.astype(U32) << 8)
-    lane1 = jnp.zeros(shape, U32)
+    # Selector bits accumulate at their NATURAL big-endian positions in a
+    # logical 48-bit payload (vh = bits 32..47, vl = bits 0..31), then ONE
+    # byte reversal maps them onto the little-endian output lanes - cheaper
+    # than splitting each 3-bit field at byte boundaries per texel.
+    vh = jnp.zeros(shape, U32)
+    vl = jnp.zeros(shape, U32)
     for i in range(16):
         a2 = alphas[i] << 1
         r = (a2 >= S[0]).astype(I32)
@@ -200,25 +204,33 @@ def write_etc2_alpha_block(etc2tm, texels):
         for k in (3, 4, 5, 6):
             r = r + (a2 > S[k])
         best_j = jnp.where(r < 4, 3 - r, r)
-        best_j = jnp.where(mult0 | (dup34 & (r <= 4)), 0, best_j)
+        best_j = jnp.where(mult0 | (dup34 & (r <= 4)), 0, best_j).astype(U32)
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x
-        s = 45 - pid * 3  # bit position in the big-endian u64
-        # big-endian byte reversal: u64 bit p -> block byte 7 - p//8.
-        # The 3 bits are contiguous when they stay in one byte (s%8 <= 5);
-        # otherwise split at the byte boundary.
-        spans = [(s, 3)] if s % 8 <= 5 else [(s, 8 - s % 8), (s + 8 - s % 8, 3 - (8 - s % 8))]
-        taken = 0
-        for p0, nbits in spans:
-            out_bit = 56 - 8 * (p0 // 8) + (p0 % 8)
-            piece = ((best_j >> taken) & mask(nbits)).astype(U32)
-            if out_bit < 32:
-                lane0 = lane0 | (piece << out_bit)
-            else:
-                lane1 = lane1 | (piece << (out_bit - 32))
-            taken += nbits
+        s = 45 - pid * 3  # field position in the big-endian 48-bit payload
+        if s >= 32:
+            vh = vh | (best_j << (s - 32))
+        elif s == 30:  # the one field straddling the 32-bit split
+            vl = vl | (best_j << s)  # bit 32 self-truncates in uint32
+            vh = vh | (best_j >> (32 - s))
+        else:
+            vl = vl | (best_j << s)
 
+    # block byte b holds payload bits (47-8b)..(40-8b): bytes 2..3 come
+    # from vh, bytes 4..7 are bswap32(vl)
+    lane0 = (
+        (center.astype(U32) & 0xFF)
+        | (etc2tm.astype(U32) << 8)
+        | ((vh & 0xFF00) << 8)
+        | ((vh & 0xFF) << 24)
+    )
+    lane1 = (
+        ((vl & 0xFF) << 24)
+        | ((vl & 0xFF00) << 8)
+        | ((vl >> 8) & 0xFF00)
+        | (vl >> 24)
+    )
     lane0 = jnp.where(min_a == max_a, solid0_min, lane0)
     lane1 = jnp.where(min_a == max_a, solid1_min, lane1)
     lane0 = jnp.where(etc2tm == 0, solid0_255, lane0)
@@ -364,9 +376,12 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
     # selector re-derivation by luminance projection (etc.rs:160-196).
     # Luminances are computed once per original texel and routed per
     # position through a single flip select (instead of per-channel texel
-    # transposition).
+    # transposition).  Grayscale texels (LA modes share one object across
+    # r/g/b) collapse the dot to t * (108+366+38) = t << 9.
     lums_o = [
-        texels[i][0] * LUM_FACTORS[0]
+        texels[i][0] << 9
+        if texels[i][0] is texels[i][1] and texels[i][1] is texels[i][2]
+        else texels[i][0] * LUM_FACTORS[0]
         + texels[i][1] * LUM_FACTORS[1]
         + texels[i][2] * LUM_FACTORS[2]
         for i in range(16)
@@ -391,13 +406,12 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
             # Palette lums are non-decreasing in k (modifier rows ascend, clip
             # is monotone), so the threshold hits are nested: c1 >= c2 >= c3
             # with sel = c1+c2+c3.  The wire bits collapse to boolean forms of
-            # the hits directly - ms = !c2, ls = c3 | !c1 (3 ops instead of
-            # building sel and splitting it; truth table = selector_ms_ls).
-            c1 = lum >= th01
-            c2 = lum >= th12
+            # the hits directly - ms = !c2, ls = c3 | !c1 (truth table =
+            # selector_ms_ls); the negated hits are computed by flipping the
+            # compare direction, not with `not` ops.
+            ms = lum < th12  # !c2
             c3 = lum >= th23
-            ms = ~c2
-            ls = c3 | ~c1
+            ls = c3 | (lum < th01)  # c3 | !c1
             x = i & 3
             y = 2 * sb + (i >> 2)
             pid_flip = x * 4 + y  # set_selector(x, y)
@@ -420,7 +434,7 @@ def uastc_to_etc1_mode(cfg: ModeCfg, lanes):
         lane0, lane1 = _mode8_etc1_lanes(lanes)
         return [lane0, lane1], jnp.zeros(lane_shape(lanes), bool)
     flags = decode_trans_flags(cfg, lanes)
-    texels, err = uastc_to_rgba_channels(cfg, lanes)
+    texels, err = uastc_to_rgba_channels(cfg, lanes, need_alpha=False)
     lane0, lane1 = _etc_rgb_lanes(cfg, lanes, flags, texels)
     return [lane0, lane1], err
 

@@ -34,8 +34,11 @@ def pack_rgba(r, g, b, a):
     )
 
 
-def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
-    """Returns (texels, err): texels = list of 16 per-texel [r,g,b,a] int32[N]."""
+def uastc_to_rgba_channels(cfg: ModeCfg, lanes, need_alpha: bool = True):
+    """Returns (texels, err): texels = list of 16 per-texel [r,g,b,a] int32[N].
+
+    need_alpha=False skips the per-texel alpha interpolation entirely
+    (texels carry None in slot 3) - the ETC1 target never reads it."""
     if cfg.id == 8:
         rgba = decode_mode8_rgba(lanes)
         err = jnp.zeros(lane_shape(lanes), bool)
@@ -76,6 +79,10 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
     from ..tables.modes import LA
 
     static_cs = 3 if (cfg.plane_count == 2 and cfg.format == LA) else None
+    channels = (0, 1, 2, 3) if need_alpha else (0, 1, 2)
+
+    def pad(px):
+        return px if need_alpha else px + [None]
 
     texels = []
     if cfg.subset_count == 1:
@@ -84,7 +91,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
             for i in range(16):
                 w = wq[i]
                 cache = {}
-                texels.append([interp(cache, e0[c], e1[c], w) for c in range(4)])
+                texels.append(pad([interp(cache, e0[c], e1[c], w) for c in channels]))
         else:
             # compsel masks are per-block: hoist the four compares out of the
             # texel loop (Mosaic does not CSE them across texel bodies)
@@ -95,7 +102,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                 w0, w1 = wq[2 * i], wq[2 * i + 1]
                 px = []
                 cache = {}
-                for c in range(4):
+                for c in channels:
                     if e0[c] is e1[c]:
                         px.append(e0[c])
                         continue
@@ -104,7 +111,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                     else:
                         wc = jnp.where(cs_mask[c], w1, w0)
                     px.append(interp(cache, e0[c], e1[c], wc))
-                texels.append(px)
+                texels.append(pad(px))
     else:
         subsets = subsets_for_texels(cfg, f.pat)
         # hoist the per-subset (l<<6, h-l) lerp halves once per block; the
@@ -122,7 +129,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
             s_mask = [s_i == s for s in range(1, cfg.subset_count)]
             w = wq[i]
             px = []
-            for c in range(4):
+            for c in channels:
                 if all(
                     pairs[s][k][c] is pairs[0][0][c]
                     for s in range(cfg.subset_count)
@@ -138,7 +145,7 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes):
                     l64c = jnp.where(s_mask[s - 1], l64s[s][c], l64c)
                     dc = jnp.where(s_mask[s - 1], ds[s][c], dc)
                 px.append(astc_interp_tail(l64c + dc * w))
-            texels.append(px)
+            texels.append(pad(px))
     return texels, f.err
 
 

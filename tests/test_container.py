@@ -229,6 +229,59 @@ def test_etc1s_file_etc1(etc1s_setup):
         assert out[b, 3] == ((e[3] << 5) | (e[3] << 2) | 0b11) & 0xFF
 
 
+def test_etc1s_mip_chain_single_launch(etc1s_setup, monkeypatch):
+    """A 10-level mipmapped ETC1S file issues O(1) device dispatches: every
+    slice's index stream shares the file codebooks, so read_to_rgba /
+    read_to_etc1 concatenate them into ONE run_etc1s_* call (the per-slice
+    loop of basis.rs:26-86 would pay a launch + pow2 pad per mip tail), and
+    the split-back outputs stay bit-identical to per-slice decodes."""
+    import basisu_rs_tpu.container.basis as basis_mod
+    from basisu_rs_tpu.ops.etc1s import run_etc1s_etc1, run_etc1s_rgba
+
+    endpoints, selectors, _, _, _, _ = etc1s_setup
+    rng = np.random.default_rng(11)
+    E, S = len(endpoints), len(selectors)
+    slices = []
+    nbx0, nby0 = 130, 3  # level tails go 130,65,32,...,1: exercises odd pads
+    for lvl in range(10):
+        w, h = max(1, nbx0 >> lvl), max(1, nby0 >> lvl)
+        slices.append(
+            dict(ep_idx=rng.integers(0, E, w * h), sel_idx=rng.integers(0, S, w * h),
+                 nbx=w, nby=h, orig_width=4 * w, orig_height=4 * h)
+        )
+    buf = write_etc1s_basis(endpoints, selectors, slices)
+
+    calls = {"rgba": 0, "etc1": 0}
+    monkeypatch.setattr(
+        basis_mod, "run_etc1s_rgba",
+        lambda *a, **k: (calls.__setitem__("rgba", calls["rgba"] + 1),
+                         run_etc1s_rgba(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        basis_mod, "run_etc1s_etc1",
+        lambda *a, **k: (calls.__setitem__("etc1", calls["etc1"] + 1),
+                         run_etc1s_etc1(*a, **k))[1],
+    )
+    _, images = read_to_rgba(buf)
+    etc1_images = read_to_etc1(buf)
+    assert calls == {"rgba": 1, "etc1": 1}
+    assert len(images) == 10 and len(etc1_images) == 10
+
+    for img, e1img, s in zip(images, etc1_images, slices):
+        ep_idx = np.asarray(s["ep_idx"], np.uint16)
+        sel_idx = np.asarray(s["sel_idx"], np.uint16)
+        exp = _etc1s_expected_rgba(endpoints, selectors, ep_idx, sel_idx,
+                                   s["nbx"], s["nby"])
+        np.testing.assert_array_equal(
+            img.data.view("<u4").reshape(-1), _blocks_to_image_words(exp, s["nbx"])
+        )
+        exp_e1 = run_etc1s_etc1(endpoints, selectors, ep_idx, sel_idx)
+        np.testing.assert_array_equal(
+            e1img.data.reshape(-1),
+            np.ascontiguousarray(exp_e1.astype("<u4")).view(np.uint8).reshape(-1),
+        )
+
+
 def test_etc1s_file_with_alpha(etc1s_setup):
     endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
     rng = np.random.default_rng(7)

@@ -47,6 +47,11 @@ def main() -> int:
     ap.add_argument("--rows", default="16,32", help="comma-separated candidates")
     ap.add_argument("--n", type=int, default=1 << 21, help="batch size in blocks")
     ap.add_argument("--targets", default=",".join(PROBE_MODES))
+    ap.add_argument(
+        "--write", action="store_true",
+        help="persist the winning tiles to .jax_cache/tiles_<device-kind>.json "
+        "(ops.pallas_kernels.rows_for_target consults it on non-default hardware)",
+    )
     args = ap.parse_args()
     candidates = [int(r) for r in args.rows.split(",")]
 
@@ -82,6 +87,7 @@ def main() -> int:
         per = bench._measure_chained(chained, xp)
         return n_pad / per
 
+    winners = {}
     for target in args.targets.split(","):
         # Weight each mode's seconds-per-block by its block count in the probe
         # batch, so the aggregate reflects the corpus mode mix rather than
@@ -98,9 +104,20 @@ def main() -> int:
                 line.append(f"rows {rows}: {r/1e6:7.1f} Mblk/s")
             print("  ".join(line), flush=True)
         best = min(totals, key=totals.get)
+        winners[target] = best
         print(f"==> {target}: best tile {best} rows, probe-mix-weighted "
               f"({'; '.join(f'{r}: {totals[r]/n_total*1e9:.3f}ns/blk' for r in candidates)})",
               flush=True)
+
+    if args.write:
+        import json
+
+        from basisu_rs_tpu.ops.pallas_kernels import tile_cache_path
+
+        path = tile_cache_path()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(winners, indent=1))
+        print(f"wrote {path}", flush=True)
     return 0
 
 
