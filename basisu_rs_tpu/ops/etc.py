@@ -189,6 +189,10 @@ def write_etc2_alpha_block(etc2tm, texels):
     S = [W[k - 1] + W[k] for k in range(1, 8)]
     mult0 = mult == 0
     dup34 = W[3] == W[4]
+    # pre-halved thresholds fold the per-texel doubling (a2 = 2a) into the
+    # per-block midpoints: 2a >= S  <=>  a >= (S+1)>>1,  2a > S  <=>
+    # a >= (S+2)>>1 (S >= 0)
+    T = [(S[k] + 1) >> 1 for k in (0, 1, 2)] + [(S[k] + 2) >> 1 for k in (3, 4, 5, 6)]
 
     # Selector bits accumulate at their NATURAL big-endian positions in a
     # logical 48-bit payload (vh = bits 32..47, vl = bits 0..31), then ONE
@@ -197,12 +201,10 @@ def write_etc2_alpha_block(etc2tm, texels):
     vh = jnp.zeros(shape, U32)
     vl = jnp.zeros(shape, U32)
     for i in range(16):
-        a2 = alphas[i] << 1
-        r = (a2 >= S[0]).astype(I32)
-        for k in (1, 2):
-            r = r + (a2 >= S[k])
-        for k in (3, 4, 5, 6):
-            r = r + (a2 > S[k])
+        a = alphas[i]
+        r = (a >= T[0]).astype(I32)
+        for k in range(1, 7):
+            r = r + (a >= T[k])
         best_j = jnp.where(r < 4, 3 - r, r)
         best_j = jnp.where(mult0 | (dup34 & (r <= 4)), 0, best_j).astype(U32)
         # transposed pixel order (etc.rs:325-327)

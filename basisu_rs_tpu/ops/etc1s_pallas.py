@@ -39,7 +39,11 @@ ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16}
 
 
 def rows_for_kind(kind: str) -> int:
-    return ROWS_BY_KIND.get(kind, ROWS)
+    # on non-default hardware the per-kind autotune cache may carry
+    # "etc1s_<kind>" overrides (see pallas_kernels._tuned_rows)
+    from .pallas_kernels import _tuned_rows
+
+    return _tuned_rows().get(f"etc1s_{kind}", ROWS_BY_KIND.get(kind, ROWS))
 
 I32 = jnp.int32
 

@@ -40,13 +40,61 @@ ROWS = 16  # default: 16 x 128 = 2048 blocks per grid step
 # 32-row tiles win on every target.  Per-mode 16-vs-32 deltas from single
 # sweeps sit inside the shared-tunnel run-to-run noise, but back-to-back
 # full-aggregate A/B separates cleanly (BC7: 61.9 @ 16 vs 66.0 @ 32
-# Gtex/s).  Larger tiles amortize grid/pipeline overhead; 8-row tiles are
-# uniformly worst.
+# Gtex/s; a 32-vs-64 sweep after the round-3 kernel work kept 32).  Larger
+# tiles amortize grid/pipeline overhead; 8-row tiles are uniformly worst.
 ROWS_BY_TARGET = {"bc7": 32, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
+
+# Device kinds the shipped table was tuned on.  On any other TPU kind,
+# rows_for_target consults .jax_cache/tiles_<kind>.json (written by
+# `python tools/autotune_tiles.py --write` on that hardware) and warns once
+# if it is absent - a silently-wrong tile on future chips costs real
+# throughput.
+TUNED_DEVICE_KINDS = ("TPU v5 lite",)
+
+
+def _device_kind() -> str:
+    try:
+        devs = jax.devices()
+        return devs[0].device_kind if devs else "unknown"
+    except Exception:
+        return "unknown"
+
+
+def tile_cache_path():
+    from pathlib import Path
+
+    slug = "".join(ch if ch.isalnum() else "_" for ch in _device_kind())
+    return Path(__file__).resolve().parents[2] / ".jax_cache" / f"tiles_{slug}.json"
+
+
+@lru_cache(maxsize=None)
+def _tuned_rows():
+    """Per-target tile table for the attached hardware: the shipped table on
+    tuned kinds (and on CPU/interpret runs, where tiles barely matter),
+    else the per-kind autotune cache when present."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return ROWS_BY_TARGET
+    kind = _device_kind()
+    if any(kind.startswith(k) for k in TUNED_DEVICE_KINDS):
+        return ROWS_BY_TARGET
+    path = tile_cache_path()
+    if path.exists():
+        import json
+
+        cached = {k: int(v) for k, v in json.loads(path.read_text()).items()}
+        return {**ROWS_BY_TARGET, **cached}
+    import warnings
+
+    warnings.warn(
+        f"no tuned Pallas grid tiles for device kind {kind!r}; using the "
+        f"v5e defaults. Run `python tools/autotune_tiles.py --write` once on "
+        f"this hardware to derive and cache them ({path})."
+    )
+    return ROWS_BY_TARGET
 
 
 def rows_for_target(target: str) -> int:
-    return ROWS_BY_TARGET.get(target, ROWS)
+    return _tuned_rows().get(target, ROWS)
 
 
 def _lane_fn(target: str):

@@ -75,6 +75,10 @@ def decode_endpoints(cfg: ModeCfg, lanes):
     groups, bits_ofs, rng = _bise_layout(cfg)
     e = cfg.endpoint_count
 
+    # floor(g/3) = (g*171)>>9 and floor(g/5) = (g*205)>>10, exact for every
+    # group value (g <= 255; pinned exhaustively in test_tables) - `g // base`
+    # would lower to the backend's generic integer-division sequence
+    div_ms = {3: (171, 9), 5: (205, 10)}
     tq = []
     for base, ofs, width, members in groups:
         g = extract(lanes, ofs, width).astype(I32)
@@ -82,11 +86,12 @@ def decode_endpoints(cfg: ModeCfg, lanes):
         # multiply-subtract (uastc.rs:634-683 digit order).  After the
         # divisions the final quotient is < 2*base for every group width, so
         # its mod reduces to a conditional subtract.
+        m, sh = div_ms[base]
         for k in range(members):
             if k == members - 1:
                 tq.append(g - base * (g >= base))
             else:
-                q = g // base
+                q = (g * m) >> sh
                 tq.append(g - q * base)
                 g = q
     if not tq:

@@ -264,3 +264,22 @@ def test_astc_interpolate_mulshift_form():
     assert m.min() >= 0 and (m * 4112 + 514).max() < 2**31
     got = (m * 4112 + 514) >> 18
     np.testing.assert_array_equal(got, ref)
+
+
+def test_bise_digit_division_mulshift_exact():
+    """Exhaustive proof for ops/uastc_decode.decode_endpoints' constant
+    divisions: (g*171)>>9 == g//3 and (g*205)>>10 == g//5 for every possible
+    BISE digit-group value (groups are at most 8 bits wide)."""
+    import numpy as np
+
+    g = np.arange(256)
+    np.testing.assert_array_equal((g * 171) >> 9, g // 3)
+    np.testing.assert_array_equal((g * 205) >> 10, g // 5)
+
+
+def test_unquant_weight_wb4_correction_closed_form():
+    """(w>=4) + 2*(w>=8) + (w>=12) == q + (q>>1) with q = w>>2, for all
+    w in 0..15 (ops/uastc_decode.unquant_weight weight_bits=4)."""
+    for w in range(16):
+        q = w >> 2
+        assert (w >= 4) + 2 * (w >= 8) + (w >= 12) == q + (q >> 1)
