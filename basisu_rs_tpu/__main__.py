@@ -71,7 +71,7 @@ def cmd_transcode(args) -> int:
     if args.container == "png" and args.target != "rgba":
         print("--container png requires --target rgba", file=sys.stderr)
         return 2
-    if args.container == "ktx" and args.target == "uastc":
+    if args.container in ("ktx", "ktx2") and args.target == "uastc":
         print("uastc has no KTX format mapping; use --container bin", file=sys.stderr)
         return 2
 
@@ -91,9 +91,10 @@ def cmd_transcode(args) -> int:
             print(f"wrote {path} ({img.w}x{img.h})")
         return 0
 
-    if args.container == "ktx":
+    if args.container in ("ktx", "ktx2"):
         from .container.basis import TexFormat, read_header, read_slice_descs
         from .container.ktx import group_mip_chains, write_ktx
+        from .container.ktx2 import write_ktx2
 
         h = read_header(buf)
         descs = read_slice_descs(buf, h)
@@ -112,10 +113,11 @@ def cmd_transcode(args) -> int:
             named.append(("_alpha", group_mip_chains([i for i, _ in alp], [d for _, d in alp])))
         else:
             named.append(("", group_mip_chains(images, descs)))
+        writer = write_ktx2 if args.container == "ktx2" else write_ktx
         for suffix, chains in named:
             for i, chain in enumerate(chains):
-                path = outdir / f"{stem}_{i}{suffix}.{args.target}.ktx"
-                blob = write_ktx(chain, args.target)
+                path = outdir / f"{stem}_{i}{suffix}.{args.target}.{args.container}"
+                blob = writer(chain, args.target)
                 path.write_bytes(blob)
                 print(f"wrote {path} ({chain[0].w}x{chain[0].h}, {len(chain)} level(s), {len(blob)} bytes)")
         return 0
@@ -164,10 +166,11 @@ def main(argv=None) -> int:
     pt.add_argument("--target", choices=["rgba", "astc", "bc7", "etc1", "etc2", "uastc"], default="bc7")
     pt.add_argument(
         "--container",
-        choices=["bin", "ktx", "png"],
+        choices=["bin", "ktx", "ktx2", "png"],
         default="bin",
         help="output container: raw blocks + JSON metadata, a loadable KTX "
-        "texture per image (mip chains preserved), or PNG (rgba only)",
+        "v1 / KTX2 texture per image (mip chains preserved), or PNG "
+        "(rgba only)",
     )
     pt.add_argument("-o", "--output", default=".")
     pt.set_defaults(fn=cmd_transcode)
