@@ -54,8 +54,19 @@ struct BitReader {
 // canonical Huffman decoding table (flat lookup, bit-reversed codes)
 // ---------------------------------------------------------------------------
 struct HuffTable {
-  // entry = symbol | code_size << 16 (0 = invalid slot): one load per decode
-  std::vector<uint32_t> entries;
+  // Two-level lookup: a root table of at most 1<<kRootBits entries plus
+  // per-prefix subtables for codes longer than kRootBits.  A 16-bit-deep
+  // flat table is 256 KiB (L2-miss per symbol: measured ~2x slowdown on
+  // 13-bit tables); the 4 KiB root stays L1-resident and long codes are
+  // rare by construction (they carry the low-probability symbols).
+  //
+  // entry layout (u32):
+  //   leaf:    code_size << 16 | symbol   (code_size >= 1; symbol < 2^14)
+  //   branch:  0x80000000 | extra_bits << 24 | subtable_base
+  //   invalid: 0
+  static constexpr int kRootBits = 10;
+  std::vector<uint32_t> entries;  // root
+  std::vector<uint32_t> sub;      // subtable pool
   uint32_t mask = 0;
   int max_code_size = 0;
 
@@ -74,18 +85,59 @@ struct HuffTable {
       total = (total + counts[bits - 1]) << 1;
       next_code[bits] = total;
     }
-    entries.assign(size_t(1) << max_code_size, 0);
+    int root_bits = max_code_size < kRootBits ? max_code_size : kRootBits;
+    entries.assign(size_t(1) << root_bits, 0);
+    sub.clear();
     mask = (uint32_t)entries.size() - 1;
+
+    // pass 1: per-root-prefix maximum code length, to size the subtables
+    uint32_t nc[kMaxCodeSize + 1];
+    std::memcpy(nc, next_code, sizeof(nc));
+    std::vector<uint8_t> group_max;
+    if (max_code_size > root_bits) group_max.assign(entries.size(), 0);
+    for (int sym = 0; sym < n; ++sym) {
+      int size = code_sizes[sym];
+      if (size <= root_bits) {
+        if (size) nc[size]++;
+        continue;
+      }
+      uint32_t code = nc[size]++;
+      uint32_t rev = 0;
+      for (int b = 0; b < size; ++b) rev |= ((code >> b) & 1u) << (size - 1 - b);
+      uint32_t ridx = rev & mask;
+      if ((uint8_t)size > group_max[ridx]) group_max[ridx] = (uint8_t)size;
+    }
+    if (!group_max.empty()) {
+      for (size_t ridx = 0; ridx < entries.size(); ++ridx) {
+        if (!group_max[ridx]) continue;
+        uint32_t extra = (uint32_t)group_max[ridx] - root_bits;
+        entries[ridx] = 0x80000000u | (extra << 24) | (uint32_t)sub.size();
+        sub.insert(sub.end(), size_t(1) << extra, 0);
+      }
+    }
+
+    // pass 2: fill leaves (short codes replicate in the root; long codes
+    // replicate inside their prefix's subtable - prefix-freeness keeps the
+    // two disjoint)
     for (int sym = 0; sym < n; ++sym) {
       int size = code_sizes[sym];
       if (!size) continue;
       uint32_t code = next_code[size]++;
-      // bit-reverse to `size` bits
       uint32_t rev = 0;
       for (int b = 0; b < size; ++b) rev |= ((code >> b) & 1u) << (size - 1 - b);
       uint32_t entry = (uint32_t)sym | ((uint32_t)size << 16);
-      for (size_t fill = rev; fill < entries.size(); fill += size_t(1) << size)
-        entries[fill] = entry;
+      if (size <= root_bits) {
+        for (size_t fill = rev; fill < entries.size(); fill += size_t(1) << size)
+          entries[fill] = entry;
+      } else {
+        uint32_t e = entries[rev & mask];
+        uint32_t extra = (e >> 24) & 0x7F;
+        uint32_t base = e & 0xFFFFFF;
+        uint32_t high = rev >> root_bits;
+        for (size_t fill = high; fill < (size_t(1) << extra);
+             fill += size_t(1) << (size - root_bits))
+          sub[base + fill] = entry;
+      }
     }
     for (int bits = 1; bits <= kMaxCodeSize; ++bits)
       if (next_code[bits] > 0x10000u) return -2;
@@ -93,7 +145,12 @@ struct HuffTable {
   }
 
   int decode(BitReader& r) const {
-    uint32_t e = entries[(uint32_t)r.window() & mask];
+    uint64_t w = r.window();
+    uint32_t e = entries[(uint32_t)w & mask];
+    if ((int32_t)e < 0) {  // branch: rare (long codes = low-probability syms)
+      uint32_t extra = (e >> 24) & 0x7F;
+      e = sub[(e & 0xFFFFFF) + (((uint32_t)(w >> kRootBits)) & ((1u << extra) - 1))];
+    }
     if (!(e >> 16)) return -1;
     r.bit_pos += e >> 16;
     return (int)(e & 0xFFFF);

@@ -18,6 +18,35 @@ def _codebooks(rng, e, s):
     return endpoints, selectors
 
 
+def test_deep_huffman_tables_decode_correctly():
+    """Codebooks large enough for >10-bit code lengths exercise the C++
+    front-end's two-level Huffman tables (root + per-prefix subtables;
+    native/etc1s.cpp HuffTable) - every code here is 13 bits, so every
+    decode takes the subtable path - against the flat-table Python
+    front-end."""
+    rng = np.random.default_rng(31)
+    e, s = 4096, 5000  # equal-length codes: 12 and 13 bits
+    endpoints, selectors = _codebooks(rng, e, s)
+    nbx, nby = 40, 10
+    buf, exp_ep, exp_sel = write_etc1s_basis_fuzz(
+        endpoints, selectors, nbx, nby, 16, seed=31
+    )
+    h = read_header(buf)
+    descs = read_slice_descs(buf, h)
+    for use_native in (True, False):
+        dec = Etc1sDecoder(
+            h.total_endpoints, h.total_selectors,
+            buf[h.endpoint_cb_file_ofs : h.endpoint_cb_file_ofs + h.endpoint_cb_file_size],
+            buf[h.selector_cb_file_ofs : h.selector_cb_file_ofs + h.selector_cb_file_size],
+            buf[h.tables_file_ofs : h.tables_file_ofs + h.tables_file_size],
+            is_video=False,
+            use_native=use_native,
+        )
+        sl = dec.decode_slice(nbx, nby, descs[0].data(buf))
+        np.testing.assert_array_equal(sl.endpoint_index, exp_ep, err_msg=f"native={use_native}")
+        np.testing.assert_array_equal(sl.selector_index, exp_sel, err_msg=f"native={use_native}")
+
+
 def test_internal_asserts_are_catchable_basis_errors():
     """The reference's decode_blocks uses assert!/panic for prediction-edge
     violations and out-of-range decoded indices (mod.rs:303-310, 443-444) -
