@@ -229,6 +229,26 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     return rates
 
 
+def bench_etc1s_host(n_blocks: int = 1 << 18) -> float:
+    """Single-core rate of the C++ ETC1S entropy front-end (blocks/s) - the
+    host half of the ETC1S pipeline budget (BUILD_STATUS roofline)."""
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    from bench_etc1s_host import make_slice
+
+    nbx = 1024
+    nby = n_blocks // nbx
+    models, data, exp_ep, _ = make_slice(nbx, nby)
+    n = nbx * nby
+    ep, _ = models.decode_slice(nbx, nby, data)
+    assert (ep == exp_ep).all()
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        models.decode_slice(nbx, nby, data)
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
 def bench_corpus(n_files: int = 8, nbx: int = 64, nby: int = 64) -> None:
     """End-to-end file-level pipeline (BasisCorpusPipeline): synthetic mixed
     corpus on disk -> parse + CRC on worker threads (+ C++ ETC1S front-end)
@@ -311,6 +331,12 @@ def main() -> None:
         for kind, er in bench_etc1s().items():
             log(f"ETC1S->{kind.upper()}: {er/1e9:.2f} Gtexels/s")
             extra[f"etc1s_{kind}_mtexels_s"] = round(er / 1e6, 1)
+        try:
+            hr = bench_etc1s_host()
+            log(f"ETC1S host front-end: {hr/1e6:.1f} Mblocks/s/core")
+            extra["etc1s_host_mblocks_s_core"] = round(hr / 1e6, 1)
+        except ImportError:
+            pass  # toolchain-less environment: no native front-end
         srate = bench_target_sharded("bc7", blocks)
         log(
             f"UASTC->BC7 aggregate (sharded per-mode step, {len(jax.devices())} chip(s)): "
