@@ -54,20 +54,22 @@ def _palette_for_blocks(endpoints, ep_idx):
 def etc1s_rgba_kernel(endpoints, selectors, ep_idx, sel_idx):
     """-> uint32 [N, 16] packed RGBA texels (alpha = 255)."""
     pal = _palette_for_blocks(endpoints, ep_idx)
+    # pack each palette level once per block; per-texel selects route one
+    # packed word instead of three channels (mirrors the Pallas kernel)
+    palw = [
+        (pal[k][0].astype(U32) | (pal[k][1].astype(U32) << 8)
+         | (pal[k][2].astype(U32) << 16) | U32(0xFF000000))
+        for k in range(4)
+    ]
     rows = jnp.take(selectors.astype(I32), sel_idx, axis=0)  # [N, 4]
     texels = []
     for y in range(4):
         for x in range(4):
             s = (rows[:, y] >> (2 * x)) & 3
-            px = [pal[0][c] for c in range(3)]
+            px = palw[0]
             for k in range(1, 4):
-                px = [jnp.where(s == k, pal[k][c], px[c]) for c in range(3)]
-            texels.append(
-                px[0].astype(U32)
-                | (px[1].astype(U32) << 8)
-                | (px[2].astype(U32) << 16)
-                | U32(0xFF000000)
-            )
+                px = jnp.where(s == k, palw[k], px)
+            texels.append(px)
     return jnp.stack(texels, axis=-1)
 
 

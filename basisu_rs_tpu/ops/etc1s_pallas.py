@@ -103,6 +103,15 @@ def _palette(ep_word):
 
 def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
     pal = _palette(ep_words)
+    if not alpha_only:
+        # pack each palette level ONCE per block; the per-texel 4-way select
+        # then routes one packed word instead of three channels (3 wheres
+        # per texel instead of 9, plus no per-texel repacking)
+        palw = [
+            (pal[k][0].astype(U32) | (pal[k][1].astype(U32) << 8)
+             | (pal[k][2].astype(U32) << 16) | U32(0xFF000000))
+            for k in range(4)
+        ]
     for y in range(4):
         row = (sel_words >> (8 * y)) & 0xFF
         for x in range(4):
@@ -113,15 +122,10 @@ def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
                     g = jnp.where(s == k, pal[k][1], g)
                 out_refs[y * 4 + x][...] = g.astype(U32)
             else:
-                px = [pal[0][c] for c in range(3)]
+                px = palw[0]
                 for k in range(1, 4):
-                    px = [jnp.where(s == k, pal[k][c], px[c]) for c in range(3)]
-                out_refs[y * 4 + x][...] = (
-                    px[0].astype(U32)
-                    | (px[1].astype(U32) << 8)
-                    | (px[2].astype(U32) << 16)
-                    | U32(0xFF000000)
-                )
+                    px = jnp.where(s == k, palw[k], px)
+                out_refs[y * 4 + x][...] = px
 
 
 @lru_cache(maxsize=None)

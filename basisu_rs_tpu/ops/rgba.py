@@ -15,9 +15,10 @@ from ..tables import ModeCfg
 from .bits import lane_shape, U32
 from .uastc_decode import (
     assemble_endpoint_pairs,
-    astc_interp_tail,
     decode_fields,
     decode_mode8_rgba,
+    interp_eval,
+    interp_hoist,
     subsets_for_texels,
     unquant_weight,
 )
@@ -56,10 +57,10 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes, need_alpha: bool = True):
     # The caches keep the keyed operands alive so the id() keys can't be
     # reused by a freed array within a texel's lifetime.
     #
-    # The (l<<6, h-l) halves of the lerp are per-BLOCK quantities: `pre`
-    # hoists them once per endpoint pair instead of once per texel (Mosaic
-    # does not CSE across the unrolled texel bodies; measured win on the
-    # ALU-bound ETC kernels).
+    # The (L0, D) halves of the factored lerp (interp_hoist) are per-BLOCK
+    # quantities: `pre` hoists them once per endpoint pair instead of once
+    # per texel (Mosaic does not CSE across the unrolled texel bodies),
+    # leaving one multiply + add + shift per texel.
     pre = {}
 
     def interp(cache, l, h, w):
@@ -67,11 +68,11 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes, need_alpha: bool = True):
             return l
         pkey = (id(l), id(h))
         if pkey not in pre:
-            pre[pkey] = (l << 6, h - l, l, h)
-        l64, d, _, _ = pre[pkey]
+            pre[pkey] = (*interp_hoist(l, h), l, h)
+        L0, D, _, _ = pre[pkey]
         key = (id(l), id(h), id(w))
         if key not in cache:
-            cache[key] = (astc_interp_tail(l64 + d * w), w)
+            cache[key] = (interp_eval(L0, D, w), w)
         return cache[key][0]
 
     # LA dual-plane forces compsel = alpha (uastc.rs:343-350, mirrored by
@@ -114,14 +115,15 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes, need_alpha: bool = True):
                 texels.append(pad(px))
     else:
         subsets = subsets_for_texels(cfg, f.pat)
-        # hoist the per-subset (l<<6, h-l) lerp halves once per block; the
-        # per-texel where-chains then select between these instead of the
-        # raw endpoints, dropping the per-texel shift+sub
-        l64s = [[pairs[s][0][c] << 6 for c in range(4)] for s in range(cfg.subset_count)]
-        ds = [
-            [pairs[s][1][c] - pairs[s][0][c] for c in range(4)]
+        # hoist the per-subset (L0, D) factored-lerp halves once per block;
+        # the per-texel where-chains then select between these instead of
+        # the raw endpoints, leaving one multiply + add + shift per texel
+        hoisted = [
+            [interp_hoist(pairs[s][0][c], pairs[s][1][c]) for c in range(4)]
             for s in range(cfg.subset_count)
         ]
+        L0s = [[hoisted[s][c][0] for c in range(4)] for s in range(cfg.subset_count)]
+        Ds = [[hoisted[s][c][1] for c in range(4)] for s in range(cfg.subset_count)]
         for i in range(16):
             s_i = subsets[i]
             # one subset-mask set per texel, shared by every channel's
@@ -139,12 +141,12 @@ def uastc_to_rgba_channels(cfg: ModeCfg, lanes, need_alpha: bool = True):
                     continue
                 # per-channel where-chains are fresh objects - no cross-
                 # channel sharing to memoize here
-                l64c = l64s[0][c]
-                dc = ds[0][c]
+                L0c = L0s[0][c]
+                Dc = Ds[0][c]
                 for s in range(1, cfg.subset_count):
-                    l64c = jnp.where(s_mask[s - 1], l64s[s][c], l64c)
-                    dc = jnp.where(s_mask[s - 1], ds[s][c], dc)
-                px.append(astc_interp_tail(l64c + dc * w))
+                    L0c = jnp.where(s_mask[s - 1], L0s[s][c], L0c)
+                    Dc = jnp.where(s_mask[s - 1], Ds[s][c], Dc)
+                px.append(interp_eval(L0c, Dc, w))
             texels.append(pad(px))
     return texels, f.err
 

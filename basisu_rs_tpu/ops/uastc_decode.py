@@ -270,25 +270,34 @@ def unquant_weight(w, weight_bits: int):
     raise ValueError(weight_bits)
 
 
-def astc_interp_tail(m):
-    """(m*4112 + 514) >> 18 for m = l*64 + (h-l)*w in [0, 16320]."""
-    return ((m << 12) + (m << 4) + 514) >> 18
+def interp_hoist(l, h):
+    """Per-block halves of the factored ASTC lerp: (L0, D) with
+    L0 = 257*64*l + 32 and D = 257*(h-l), as shift-adds.  interp_eval
+    then needs ONE multiply, one add and one shift per texel."""
+    d = h - l
+    return (l << 14) + (l << 6) + 32, (d << 8) + d
+
+
+def interp_eval(L0, D, w):
+    """(L0 + D*w) >> 14 - the per-texel half of the factored ASTC lerp.
+    The sum is 257*(l*64 + (h-l)*w) + 32 in [32, 4194272]: int32-safe and
+    non-negative, so the shift is a floor."""
+    return (L0 + D * w) >> 14
 
 
 def astc_interpolate(l, h, w):
     """Fixed-point ASTC interpolation, srgb=false path (uastc.rs:218-235).
     l, h: 0..255 int32; w: 0..64 int32.
 
-    The reference computes ((l*257)*(64-w) + (h*257)*w + 32) >> 14.  With
-    m = l*64 + (h-l)*w (in [0, 16320]) this equals (m*4112 + 514) >> 18
-    exactly (exhaustively pinned in test_tables), and 4112 = 2^12 + 2^4 is
-    two shifts - one variable multiply per channel instead of two.
-
-    Per-block batch callers hoist (l<<6, h-l) once per endpoint pair and
-    apply astc_interp_tail per texel (ops/rgba.py) - Mosaic does not CSE
-    the per-texel recomputation away."""
-    m = (l << 6) + (h - l) * w
-    return astc_interp_tail(m)
+    The reference computes ((l*257)*(64-w) + (h*257)*w + 32) >> 14.  The
+    numerator factors as (257*64*l + 32) + 257*(h-l)*w: hoisting
+    L0 = 257*64*l + 32 and D = 257*(h-l) per endpoint pair (per BLOCK)
+    leaves one multiply, one add and one shift per texel - exhaustively
+    pinned against the reference form in test_tables.  Batch callers
+    (ops/rgba.py) hoist via interp_hoist because Mosaic does not CSE the
+    per-texel recomputation away."""
+    L0, D = interp_hoist(l, h)
+    return interp_eval(L0, D, w)
 
 
 def assemble_endpoint_pairs(cfg: ModeCfg, endpoints):

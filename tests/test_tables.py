@@ -194,8 +194,8 @@ def test_astc_interpolate_equal_endpoints_is_identity():
 
     l = np.arange(256)[:, None]
     w = np.arange(65)[None, :]
-    m = (l << 6) + (l - l) * w
-    got = ((m << 12) + (m << 4) + 514) >> 18
+    L0 = (l << 14) + (l << 6) + 32  # interp_hoist with d = h - l = 0
+    got = (L0 + 0 * w) >> 14
     np.testing.assert_array_equal(got, np.broadcast_to(l, got.shape))
 
 
@@ -248,10 +248,12 @@ def test_eac_rank_selector_matches_packed_min():
             np.testing.assert_array_equal(got, ref_j, err_msg=f"table {t} mult {mult}")
 
 
-def test_astc_interpolate_mulshift_form():
+def test_astc_interpolate_factored_form():
     """Exhaustive proof for ops/uastc_decode.astc_interpolate: for all
     l, h in 0..255 and w in 0..64, ((l*257)*(64-w) + (h*257)*w + 32) >> 14
-    == (m*4112 + 514) >> 18 with m = l*64 + (h-l)*w, int32-safe."""
+    == (L0 + D*w) >> 14 with the per-block halves L0 = 257*64*l + 32 and
+    D = 257*(h-l) (interp_hoist/interp_eval), int32-safe and the summed
+    numerator non-negative (so the device's arithmetic shift floors)."""
     import numpy as np
 
     l, h, w = np.meshgrid(
@@ -260,9 +262,12 @@ def test_astc_interpolate_mulshift_form():
     l = l.astype(np.int64)
     h = h.astype(np.int64)
     ref = ((l * 257) * (64 - w) + (h * 257) * w + 32) >> 14
-    m = (l << 6) + (h - l) * w
-    assert m.min() >= 0 and (m * 4112 + 514).max() < 2**31
-    got = (m * 4112 + 514) >> 18
+    d = h - l
+    L0 = (l << 14) + (l << 6) + 32
+    D = (d << 8) + d
+    n = L0 + D * w
+    assert n.min() >= 32 and n.max() < 2**31 and np.abs(D * w).max() < 2**31
+    got = n >> 14
     np.testing.assert_array_equal(got, ref)
 
 
