@@ -1,11 +1,12 @@
-"""Randomized differential fuzz of the UASTC -> RGBA kernels against the
+"""Randomized differential fuzz of the UASTC transcode kernels against the
 reference-transcribed oracle (tests/oracle_uastc.py).
 
 The committed golden corpus pins 32 blocks per mode; random blocks cover the
 field combinations those 32 can't (all BISE trit/quint group remainders,
-anchor-weight positions, pattern indices, compsel values, invalid patterns).
-Reference loop being mirrored: decode_block_to_rgba
-(/root/reference/src/uastc.rs:237-327) over arbitrary block bytes.
+anchor-weight positions, pattern indices, compsel values, blue-contract
+inversions, invalid patterns).  Reference loops being mirrored:
+decode_block_to_rgba (/root/reference/src/uastc.rs:237-327) and the
+per-target convert_block_from_uastc writers.
 """
 
 import numpy as np
@@ -13,49 +14,55 @@ import pytest
 
 from basisu_rs_tpu.ops import transcode_blocks
 
-from oracle_uastc import OracleUastcError, decode_block_to_rgba, mode_code_bits
+from oracle_uastc import (
+    OracleUastcError,
+    convert_block_to_astc,
+    decode_block_to_rgba,
+    mode_code_bits,
+)
 
 
-def _oracle_words(block: bytes):
-    """-> (uint32[16] packed LE RGBA words, None) or (None, error message)."""
-    try:
-        texels = decode_block_to_rgba(block)
-    except OracleUastcError as e:
-        return None, str(e)
-    return (
-        np.array(
-            [r | (g << 8) | (b << 16) | (a << 24) for (r, g, b, a) in texels],
-            np.uint32,
-        ),
-        None,
+def _rgba_words(block: bytes) -> np.ndarray:
+    texels = decode_block_to_rgba(block)
+    return np.array(
+        [r | (g << 8) | (b << 16) | (a << 24) for (r, g, b, a) in texels],
+        np.uint32,
     )
 
 
-def _check_against_oracle(blocks: np.ndarray):
-    out, err = transcode_blocks(blocks, "rgba")
+_ORACLES = {
+    "rgba": _rgba_words,
+    "astc": lambda block: np.frombuffer(convert_block_to_astc(block), np.uint8),
+}
+
+
+def _check_against_oracle(blocks: np.ndarray, target: str):
+    out, err = transcode_blocks(blocks, target)
+    oracle = _ORACLES[target]
     for i in range(len(blocks)):
-        words, msg = _oracle_words(bytes(blocks[i]))
-        if msg is not None:
-            assert err[i], f"block {i}: oracle errors ({msg}) but kernel did not"
-        else:
-            assert not err[i], f"block {i}: kernel errors but oracle decodes"
-            np.testing.assert_array_equal(
-                out[i],
-                words,
-                err_msg=f"block {i} bytes {blocks[i].tolist()}",
-            )
+        try:
+            words = oracle(bytes(blocks[i]))
+        except OracleUastcError as e:
+            assert err[i], f"block {i}: oracle errors ({e}) but kernel did not"
+            continue
+        assert not err[i], f"block {i}: kernel errors but oracle decodes"
+        np.testing.assert_array_equal(
+            out[i], words, err_msg=f"block {i} bytes {blocks[i].tolist()}"
+        )
 
 
-def test_uniform_random_blocks_match_oracle():
+@pytest.mark.parametrize("target", sorted(_ORACLES))
+def test_uniform_random_blocks_match_oracle(target):
     """Uniform random bytes: every mode (valid and invalid) in ratio of its
     MODE_LUT share; errors must agree exactly with the oracle's Err sites."""
     rng = np.random.default_rng(0xBA515)
     blocks = rng.integers(0, 256, size=(2048, 16), dtype=np.uint8)
-    _check_against_oracle(blocks)
+    _check_against_oracle(blocks, target)
 
 
+@pytest.mark.parametrize("target", sorted(_ORACLES))
 @pytest.mark.parametrize("mode_id", range(19))
-def test_per_mode_random_blocks_match_oracle(mode_id):
+def test_per_mode_random_blocks_match_oracle(mode_id, target):
     """Dense per-mode coverage: random payload bits under a forced mode code
     (a code whose every 7-bit extension maps to the mode)."""
     rng = np.random.default_rng(0xC0DE + mode_id)
@@ -63,4 +70,4 @@ def test_per_mode_random_blocks_match_oracle(mode_id):
     code, code_size = mode_code_bits(mode_id)
     keep = 0xFF & ~((1 << min(code_size, 8)) - 1)
     blocks[:, 0] = (blocks[:, 0] & keep) | (code & 0xFF)
-    _check_against_oracle(blocks)
+    _check_against_oracle(blocks, target)
