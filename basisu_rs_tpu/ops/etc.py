@@ -288,9 +288,13 @@ def _mode8_etc1_lanes(lanes):
     g = extract(lanes, O + 11, 5).astype(I32)
     b = extract(lanes, O + 16, 5).astype(I32)
 
-    byte0 = jnp.where(d == 0, (r << 4) | r, r << 3)
-    byte1 = jnp.where(d == 0, (g << 4) | g, g << 3)
-    byte2 = jnp.where(d == 0, (b << 4) | b, b << 3)
+    # The flag fields are 5 bits wide even in individual (d == 0) mode, where
+    # the wire byte is (c << 4) | c: the reference's write_u8 TRUNCATES the
+    # 9-bit value of a c >= 16 to its low 8 bits (etc.rs:54-57) - mask here
+    # so the dropped bit can't bleed into the next byte of the packed word.
+    byte0 = jnp.where(d == 0, ((r << 4) | r) & 0xFF, r << 3)
+    byte1 = jnp.where(d == 0, ((g << 4) | g) & 0xFF, g << 3)
+    byte2 = jnp.where(d == 0, ((b << 4) | b) & 0xFF, b << 3)
     byte3 = (i << 5) | (i << 2) | (d << 1)
     lane0 = (
         byte0.astype(U32)

@@ -309,18 +309,19 @@ def _decode_weights(r: _OBitReader, mode, pat: int):
 
 
 def _assemble_endpoint_pairs(fmt: int, endpoint_bytes):
+    # chunks_exact semantics: a trailing partial chunk is dropped, and (as in
+    # the reference's [[Color32; 2]; 3] zip) at most 3 pairs are produced
     pairs = []
-    if fmt == _RGB:
-        for i in range(0, len(endpoint_bytes), 6):
-            b = endpoint_bytes[i : i + 6]
+    step = {_RGB: 6, _RGBA: 8, _LA: 4}[fmt]
+    for i in range(0, len(endpoint_bytes) - step + 1, step):
+        if len(pairs) == 3:
+            break
+        b = endpoint_bytes[i : i + step]
+        if fmt == _RGB:
             pairs.append(((b[0], b[2], b[4], 0xFF), (b[1], b[3], b[5], 0xFF)))
-    elif fmt == _RGBA:
-        for i in range(0, len(endpoint_bytes), 8):
-            b = endpoint_bytes[i : i + 8]
+        elif fmt == _RGBA:
             pairs.append(((b[0], b[2], b[4], b[6]), (b[1], b[3], b[5], b[7])))
-    else:  # LA
-        for i in range(0, len(endpoint_bytes), 4):
-            b = endpoint_bytes[i : i + 4]
+        else:  # LA
             pairs.append(((b[0], b[0], b[0], b[2]), (b[1], b[1], b[1], b[3])))
     return pairs
 
@@ -699,6 +700,767 @@ def convert_block_to_astc(block: bytes) -> bytes:
             wrev.write_rev_bits(weight_bits, ~weight if inv else weight)
     if plane_count != 1:
         wrev.write(2, compsel)
+
+    return bytes(output)
+
+
+# -- target_formats/etc.rs ---------------------------------------------------
+
+_SELECTOR_ID_TO_ETC1 = [0b11, 0b10, 0b00, 0b01]
+
+_ETC1_MODIFIERS = [
+    [-8, -2, 2, 8], [-17, -5, 5, 17], [-29, -9, 9, 29], [-42, -13, 13, 42],
+    [-60, -18, 18, 60], [-80, -24, 24, 80], [-106, -33, 33, 106],
+    [-183, -47, 47, 183],
+]
+
+_ETC2_ALPHA_MODIFIERS = [
+    [-3, -6, -9, -15, 2, 5, 8, 14], [-3, -7, -10, -13, 2, 6, 9, 12],
+    [-2, -5, -8, -13, 1, 4, 7, 12], [-2, -4, -6, -13, 1, 3, 5, 12],
+    [-3, -6, -8, -12, 2, 5, 7, 11], [-3, -7, -9, -11, 2, 6, 8, 10],
+    [-4, -7, -8, -11, 3, 6, 7, 10], [-3, -5, -8, -11, 2, 4, 7, 10],
+    [-2, -6, -8, -10, 1, 5, 7, 9], [-2, -5, -8, -10, 1, 4, 7, 9],
+    [-2, -4, -8, -10, 1, 3, 7, 9], [-2, -5, -7, -10, 1, 4, 6, 9],
+    [-3, -4, -7, -10, 2, 3, 6, 9], [-1, -2, -3, -10, 0, 1, 2, 9],
+    [-4, -6, -8, -9, 3, 5, 7, 8], [-3, -5, -7, -9, 2, 4, 6, 8],
+]
+
+
+class _OSelector:
+    """etc.rs:343-395 (only the etc1_bytes wire half is consumed)."""
+
+    def __init__(self):
+        self.etc1_bytes = [0, 0, 0, 0]
+
+    def set_selector(self, x: int, y: int, val: int) -> None:
+        mod_id = _SELECTOR_ID_TO_ETC1[val]
+        pixel_id = x * 4 + y
+        ms_byte_id = 1 - pixel_id // 8
+        ls_byte_id = ms_byte_id + 2
+        bit_id = pixel_id % 8
+        self.etc1_bytes[ls_byte_id] &= ~(1 << bit_id) & 0xFF
+        self.etc1_bytes[ls_byte_id] |= (mod_id % 2) << bit_id
+        self.etc1_bytes[ms_byte_id] &= ~(1 << bit_id) & 0xFF
+        self.etc1_bytes[ms_byte_id] |= (mod_id // 2) << bit_id
+
+
+def _color_5_to_8(c):
+    return [(x << 3) | (x >> 2) for x in c[:3]] + [255]
+
+
+def _color_4_to_8(c):
+    return [(x << 4) | x for x in c[:3]] + [255]
+
+
+def _apply_mod_to_base_color(base, inten: int):
+    return [
+        [max(0, min(255, base[c] + m)) for c in range(3)] + [255]
+        for m in _ETC1_MODIFIERS[inten]
+    ]
+
+
+_ETC_S_DIVS = [1, 3, 9]
+
+# apply_etc1_bias special-case rows (etc.rs:205-240): bias -> (subblock,
+# channel) -> delta; biases not listed use ((bias // S_DIVS[c]) % 3) - 1.
+_ETC_BIAS_SPECIAL = {
+    2: lambda sb, c: 0 if sb == 1 else (-1 if c == 0 else 0),
+    5: lambda sb, c: 0 if sb == 1 else (-1 if c == 1 else 0),
+    6: lambda sb, c: 0 if sb == 1 else (-1 if c == 2 else 0),
+    7: lambda sb, c: 0 if sb == 1 else (1 if c == 0 else 0),
+    11: lambda sb, c: 0 if sb == 1 else (1 if c == 1 else 0),
+    15: lambda sb, c: 0 if sb == 1 else (1 if c == 2 else 0),
+    18: lambda sb, c: (-1 if c == 0 else 0) if sb == 1 else 0,
+    19: lambda sb, c: (-1 if c == 1 else 0) if sb == 1 else 0,
+    20: lambda sb, c: (-1 if c == 2 else 0) if sb == 1 else 0,
+    21: lambda sb, c: (1 if c == 0 else 0) if sb == 1 else 0,
+    24: lambda sb, c: (1 if c == 1 else 0) if sb == 1 else 0,
+    8: lambda sb, c: (1 if c == 2 else 0) if sb == 1 else 0,
+    10: lambda sb, c: -2,
+    27: lambda sb, c: 0 if sb == 1 else -1,
+    28: lambda sb, c: -1 if sb == 1 else 1,
+    29: lambda sb, c: 1 if sb == 1 else 0,
+    30: lambda sb, c: -1 if sb == 1 else 0,
+    31: lambda sb, c: 0 if sb == 1 else 1,
+}
+
+
+def _apply_etc1_bias(block_color, bias: int, limit: int, subblock: int):
+    out = list(block_color)
+    for c in range(3):
+        if bias in _ETC_BIAS_SPECIAL:
+            delta = _ETC_BIAS_SPECIAL[bias](subblock, c)
+        else:
+            delta = (bias // _ETC_S_DIVS[c]) % 3 - 1
+        v = out[c]
+        if v == 0:
+            if delta == -2:
+                v += 3
+            else:
+                v += delta + 1
+        elif v == limit:
+            v += delta - 1
+        else:
+            v += delta
+            if v < 0 or v > limit:
+                v = (v - delta) - delta
+        assert 0 <= v <= limit
+        out[c] = v
+    return out
+
+
+def _write_solid_etc2_alpha_block(value: int) -> bytes:
+    return bytes([
+        value, (1 << 4) | 13,
+        0b10010010, 0b01001001, 0b00100100,
+        0b10010010, 0b01001001, 0b00100100,
+    ])
+
+
+def _write_etc2_alpha_block(etc2tm: int, rgba) -> bytes:
+    import numpy as _np
+
+    if etc2tm == 0:
+        return _write_solid_etc2_alpha_block(255)
+    min_alpha = min(c[3] for c in rgba)
+    max_alpha = max(c[3] for c in rgba)
+    if min_alpha == max_alpha:
+        return _write_solid_etc2_alpha_block(min_alpha)
+
+    table_index = etc2tm & 15
+    multiplier = etc2tm >> 4
+    mod_table = _ETC2_ALPHA_MODIFIERS[table_index]
+    mod_min = mod_table[3]
+    mod_max = mod_table[7]
+    rng = mod_max - mod_min
+
+    # f32 lerp + round (half away from zero; the lerp result is >= 0 here)
+    f32 = _np.float32
+    amt = f32(-mod_min) / f32(rng)
+    lerped = f32(min_alpha) * (f32(1.0) - amt) + f32(max_alpha) * amt
+    center = int(_np.trunc(lerped + f32(0.5)))
+
+    values = [max(0, min(255, center + m * multiplier)) for m in mod_table]
+
+    selectors = 0
+    for i, c in enumerate(rgba):
+        a = c[3]
+        best_selector = min(range(8), key=lambda j: abs(values[j] - a))
+        x, y = i // 4, i % 4
+        pid = y * 4 + x
+        selectors |= best_selector << (45 - pid * 3)
+
+    out = bytearray(8)
+    out[0] = center & 0xFF
+    out[1] = etc2tm
+    out[2:8] = selectors.to_bytes(8, "big")[2:8]
+    return bytes(out)
+
+
+def _convert_block_to_etc(block: bytes, with_alpha: bool) -> bytes:
+    """etc.rs:32-202 convert_block_from_uastc; returns 8 (ETC1) or 16 (ETC2:
+    alpha block then RGB block) bytes."""
+    r = _OBitReader(block)
+
+    mode_code = r.peek(7)
+    mode_index = _MODE_LUT[mode_code]
+    if mode_index >= len(_MODES):
+        raise OracleUastcError("invalid mode index")
+    mode = _MODES[mode_index]
+    (mode_id, code_size, _range_index, fmt, _weight_bits, _plane_count,
+     _subset_count, trans_flags_bits) = mode
+    r.remove(code_size)
+
+    output = bytearray(8)
+    w = _OBitWriterLsb(output)
+
+    if mode_id == 8:
+        if with_alpha:
+            rgba8 = [r.read(8) for _ in range(4)]
+            alpha_block = _write_solid_etc2_alpha_block(rgba8[3])
+        else:
+            r.remove(32)
+            alpha_block = b""
+        # decode_mode8_etc1_flags (uastc.rs:400-409)
+        etc1d = r.read(1)
+        etc1i = r.read(3)
+        etc1s = r.read(2)
+        etc1r = r.read(5)
+        etc1g = r.read(5)
+        etc1b = r.read(5)
+        if not etc1d:
+            w.write(8, (etc1r << 4) | etc1r)
+            w.write(8, (etc1g << 4) | etc1g)
+            w.write(8, (etc1b << 4) | etc1b)
+        else:
+            w.write(8, etc1r << 3)
+            w.write(8, etc1g << 3)
+            w.write(8, etc1b << 3)
+        w.write(8, (etc1i << 5) | (etc1i << 2) | (etc1d << 1))
+        selector = _SELECTOR_ID_TO_ETC1[etc1s]
+        s_lo = selector & 1
+        s_hi = selector >> 1
+        w.write(16, (0 - s_hi) & 0xFFFF)
+        w.write(16, (0 - s_lo) & 0xFFFF)
+        return alpha_block + bytes(output)
+
+    # decode_trans_flags (uastc.rs:411-436)
+    _bc1h0 = r.read(1)
+    if not 10 <= mode_id <= 12:
+        _bc1h1 = r.read(1)
+    etc1f = r.read(1)
+    etc1d = r.read(1)
+    etc1i0 = r.read(3)
+    etc1i1 = r.read(3)
+    etc1bias = None if 10 <= mode_id <= 12 else r.read(5)
+    has_alpha = fmt in (_RGBA, _LA)
+    etc2tm = r.read(8) if has_alpha else 0
+
+    rgba = list(decode_block_to_rgba(block))
+
+    alpha_block = _write_etc2_alpha_block(etc2tm, rgba) if with_alpha else b""
+
+    if not etc1f:
+        # transpose so the two subblocks are rgba[0..8] / rgba[8..16]
+        for y in range(3):
+            for x in range(y + 1, 4):
+                a, b = y * 4 + x, x * 4 + y
+                rgba[a], rgba[b] = rgba[b], rgba[a]
+
+    color_bits = 5 if etc1d else 4
+    limit = (1 << color_bits) - 1
+
+    avg_colors = []
+    for sb in range(2):
+        subblock = rgba[8 * sb : 8 * sb + 8]
+        sums = [sum(c[ch] for c in subblock) for ch in range(3)]
+        avg_colors.append([(s * limit + 1020) // (8 * 255) for s in sums])
+
+    if etc1bias is not None:
+        c0 = _apply_etc1_bias(avg_colors[0], etc1bias, limit, 0)
+        c1 = _apply_etc1_bias(avg_colors[1], etc1bias, limit, 1)
+    else:
+        c0, c1 = avg_colors
+
+    if not etc1d:
+        w.write(8, (c0[0] << 4) | c1[0])
+        w.write(8, (c0[1] << 4) | c1[1])
+        w.write(8, (c0[2] << 4) | c1[2])
+        block_colors = [
+            _apply_mod_to_base_color(_color_4_to_8(c0), etc1i0),
+            _apply_mod_to_base_color(_color_4_to_8(c1), etc1i1),
+        ]
+    else:
+        d = [max(-4, min(3, c1[ch] - c0[ch])) for ch in range(3)]
+        w.write(8, (c0[0] << 3) | (d[0] & 0b111))
+        w.write(8, (c0[1] << 3) | (d[1] & 0b111))
+        w.write(8, (c0[2] << 3) | (d[2] & 0b111))
+        c1d = [c0[ch] + d[ch] for ch in range(3)]
+        block_colors = [
+            _apply_mod_to_base_color(_color_5_to_8(c0), etc1i0),
+            _apply_mod_to_base_color(_color_5_to_8(c1d), etc1i1),
+        ]
+
+    w.write(8, (etc1i0 << 5) | (etc1i1 << 2) | (etc1d << 1) | etc1f)
+
+    LUM_FACTORS = [108, 366, 38]
+    sel = _OSelector()
+    for sb in range(2):
+        bc = block_colors[sb]
+        block_lums = [
+            sum(bc[k][ch] * LUM_FACTORS[ch] for ch in range(3)) for k in range(4)
+        ]
+        lum_01 = (block_lums[0] + block_lums[1]) // 2
+        lum_12 = (block_lums[1] + block_lums[2]) // 2
+        lum_23 = (block_lums[2] + block_lums[3]) // 2
+        for i in range(8):
+            c = rgba[8 * sb + i]
+            lum = sum(c[ch] * LUM_FACTORS[ch] for ch in range(3))
+            s = int(lum >= lum_01) + int(lum >= lum_12) + int(lum >= lum_23)
+            x = i & 0b11
+            y = 2 * sb + (i >> 2)
+            if etc1f:
+                sel.set_selector(x, y, s)
+            else:
+                sel.set_selector(y, x, s)
+
+    w.write(32, int.from_bytes(bytes(sel.etc1_bytes), "little"))
+    return alpha_block + bytes(output)
+
+
+def convert_block_to_etc1(block: bytes) -> bytes:
+    return _convert_block_to_etc(block, with_alpha=False)
+
+
+def convert_block_to_etc2(block: bytes) -> bytes:
+    return _convert_block_to_etc(block, with_alpha=True)
+
+
+# -- target_formats/bc7.rs ---------------------------------------------------
+
+# (id, pat_bits, endpoint_count, color_bits, alpha_bits, weight_bits,
+#  plane_count, subset_count, p_bits, sp_bits)  (bc7.rs:569-579)
+_BC7_MODES = [
+    (0, 4, 18, 4, 0, 3, 1, 3, 1, 0),
+    (1, 6, 12, 6, 0, 3, 1, 2, 0, 1),
+    (2, 6, 18, 5, 0, 2, 1, 3, 0, 0),
+    (3, 6, 12, 7, 0, 2, 1, 2, 1, 0),
+    (4, 0, 8, 5, 6, 2, 2, 1, 0, 0),
+    (5, 0, 8, 7, 8, 2, 2, 1, 0, 0),
+    (6, 0, 8, 7, 7, 4, 1, 1, 1, 0),
+    (7, 6, 16, 5, 5, 2, 1, 2, 1, 0),
+]
+
+_UASTC_TO_BC7_MODES = [6, 3, 1, 2, 3, 6, 5, 2, 0, 7, 6, 5, 6, 5, 6, 6, 7, 5, 6, 0]
+
+_PATTERNS_2_BC7_INDEX_INV = [
+    (0, False), (1, False), (2, True), (3, False), (4, True), (5, False),
+    (6, True), (7, True), (8, False), (9, True), (10, False), (11, True),
+    (12, True), (13, True), (14, False), (15, True), (17, True), (18, True),
+    (19, False), (20, False), (21, False), (22, True), (23, True),
+    (24, False), (25, True), (26, False), (29, True), (32, True), (33, True),
+    (52, True),
+]
+
+_PATTERNS_3_BC7_INDEX_PERM = [
+    (4, 0), (8, 5), (9, 5), (10, 2), (11, 2), (12, 0), (13, 4), (20, 1),
+    (35, 1), (36, 5), (57, 0),
+]
+
+_PATTERNS_3_BC7_TO_ASTC_PERMUTATIONS = [
+    [0, 1, 2], [2, 0, 1], [1, 2, 0], [2, 1, 0], [0, 2, 1], [1, 0, 2],
+]
+
+_PATTERNS_2_3_BC7_INDEX_PERM = [
+    (10, 4), (11, 4), (0, 3), (2, 4), (8, 5), (13, 4), (1, 2), (33, 2),
+    (40, 3), (20, 4), (21, 0), (58, 3), (3, 0), (32, 2), (59, 1), (34, 3),
+    (20, 1), (14, 4), (31, 3),
+]
+
+_PATTERNS_2_3_BC7_TO_ASTC_PERMUTATIONS = [
+    [0, 0, 1], [1, 1, 0], [0, 1, 1], [1, 0, 0], [0, 1, 0], [1, 0, 1],
+]
+
+_PATTERNS_2_BC7 = [
+    [0,0,1,1,0,0,1,1,0,0,1,1,0,0,1,1], [0,0,0,1,0,0,0,1,0,0,0,1,0,0,0,1],
+    [0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1], [0,0,0,1,0,0,1,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,1,0,0,0,1,0,0,1,1], [0,0,1,1,0,1,1,1,0,1,1,1,1,1,1,1],
+    [0,0,0,1,0,0,1,1,0,1,1,1,1,1,1,1], [0,0,0,0,0,0,0,1,0,0,1,1,0,1,1,1],
+    [0,0,0,0,0,0,0,0,0,0,0,1,0,0,1,1], [0,0,1,1,0,1,1,1,1,1,1,1,1,1,1,1],
+    [0,0,0,0,0,0,0,1,0,1,1,1,1,1,1,1], [0,0,0,0,0,0,0,0,0,0,0,1,0,1,1,1],
+    [0,0,0,1,0,1,1,1,1,1,1,1,1,1,1,1], [0,0,0,0,0,0,0,0,1,1,1,1,1,1,1,1],
+    [0,0,0,0,1,1,1,1,1,1,1,1,1,1,1,1], [0,0,0,0,0,0,0,0,0,0,0,0,1,1,1,1],
+    [0,1,1,1,0,0,0,1,0,0,0,0,0,0,0,0], [0,0,0,0,0,0,0,0,1,0,0,0,1,1,1,0],
+    [0,1,1,1,0,0,1,1,0,0,0,1,0,0,0,0], [0,0,1,1,0,0,0,1,0,0,0,0,0,0,0,0],
+    [0,0,0,0,1,0,0,0,1,1,0,0,1,1,1,0], [0,0,0,0,0,0,0,0,1,0,0,0,1,1,0,0],
+    [0,1,1,1,0,0,1,1,0,0,1,1,0,0,0,1], [0,0,1,1,0,0,0,1,0,0,0,1,0,0,0,0],
+    [0,0,0,0,1,0,0,0,1,0,0,0,1,1,0,0], [0,1,1,0,0,1,1,0,0,1,1,0,0,1,1,0],
+    [0,0,0,0,1,1,1,1,1,1,1,1,0,0,0,0], [0,1,0,1,0,1,0,1,0,1,0,1,0,1,0,1],
+    [0,0,0,0,1,1,1,1,0,0,0,0,1,1,1,1], [0,1,1,0,1,1,0,0,1,0,0,1,0,0,1,1],
+]
+
+_PATTERNS_3_BC7 = [
+    [0,0,0,0,0,0,0,0,1,1,2,2,1,1,2,2], [0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2],
+    [0,0,0,0,1,1,1,1,1,1,1,1,2,2,2,2], [0,0,0,0,1,1,1,1,2,2,2,2,2,2,2,2],
+    [0,0,1,2,0,0,1,2,0,0,1,2,0,0,1,2], [0,1,1,2,0,1,1,2,0,1,1,2,0,1,1,2],
+    [0,1,2,2,0,1,2,2,0,1,2,2,0,1,2,2], [0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2],
+    [0,1,2,0,0,1,2,0,0,1,2,0,0,1,2,0], [0,0,0,0,1,1,1,1,2,2,2,2,0,0,0,0],
+    [0,0,2,2,0,0,1,1,0,0,1,1,0,0,2,2],
+]
+
+_PATTERNS_2_3_BC7 = [
+    [0,0,0,0,1,1,1,1,2,2,2,2,2,2,2,2], [0,0,1,2,0,0,1,2,0,0,1,2,0,0,1,2],
+    [0,0,1,1,0,0,1,1,0,2,2,1,2,2,2,2], [0,0,0,0,2,0,0,1,2,2,1,1,2,2,1,1],
+    [0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2], [0,1,2,2,0,1,2,2,0,1,2,2,0,1,2,2],
+    [0,0,0,1,0,0,1,1,2,2,1,1,2,2,2,1], [0,2,2,2,0,0,2,2,0,0,1,2,0,0,1,1],
+    [0,0,1,1,1,1,2,2,2,2,0,0,0,0,1,1], [0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2],
+    [0,0,0,1,0,0,0,1,2,2,2,1,2,2,2,1], [0,0,2,2,1,1,2,2,1,1,2,2,0,0,2,2],
+    [0,2,2,2,0,0,2,2,0,0,1,1,0,1,1,1], [0,0,0,0,0,0,0,2,1,1,2,2,1,2,2,2],
+    [0,0,0,0,0,0,0,0,0,0,0,0,2,1,1,2], [0,0,1,1,0,0,1,2,0,0,2,2,0,2,2,2],
+    [0,1,1,1,0,1,1,1,0,2,2,2,0,2,2,2], [0,0,1,1,0,1,1,2,1,1,2,2,1,2,2,2],
+    [0,0,0,0,2,0,0,0,2,2,1,1,2,2,2,1],
+]
+
+_PATTERNS_2_BC7_ANCHORS = [
+    [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15],
+    [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 15],
+    [0, 15], [0, 2], [0, 8], [0, 2], [0, 2], [0, 8], [0, 8], [0, 15],
+    [0, 2], [0, 8], [0, 2], [0, 2], [0, 8], [0, 8], [0, 2], [0, 2],
+    [0, 15], [0, 15], [0, 6], [0, 8], [0, 2], [0, 8], [0, 15], [0, 15],
+    [0, 2], [0, 8], [0, 2], [0, 2], [0, 2], [0, 15], [0, 15], [0, 6],
+    [0, 6], [0, 2], [0, 6], [0, 8], [0, 15], [0, 15], [0, 2], [0, 2],
+    [0, 15], [0, 15], [0, 15], [0, 15], [0, 15], [0, 2], [0, 2], [0, 15],
+]
+
+_PATTERNS_3_BC7_ANCHORS = [
+    [0, 3, 15], [0, 3, 8], [0, 15, 8], [0, 15, 3], [0, 8, 15], [0, 3, 15],
+    [0, 15, 3], [0, 15, 8], [0, 8, 15], [0, 8, 15], [0, 6, 15], [0, 6, 15],
+    [0, 6, 15], [0, 5, 15], [0, 3, 15], [0, 3, 8], [0, 3, 15], [0, 3, 8],
+    [0, 8, 15], [0, 15, 3], [0, 3, 15], [0, 3, 8], [0, 6, 15], [0, 10, 8],
+    [0, 5, 3], [0, 8, 15], [0, 8, 6], [0, 6, 10], [0, 8, 15], [0, 5, 15],
+    [0, 15, 10], [0, 15, 8], [0, 8, 15], [0, 15, 3], [0, 3, 15], [0, 5, 10],
+    [0, 6, 10], [0, 10, 8], [0, 8, 9], [0, 15, 10], [0, 15, 6], [0, 3, 15],
+    [0, 15, 8], [0, 5, 15], [0, 15, 3], [0, 15, 6], [0, 15, 6], [0, 15, 8],
+    [0, 3, 15], [0, 15, 3], [0, 5, 15], [0, 5, 15], [0, 5, 15], [0, 8, 15],
+    [0, 5, 15], [0, 10, 15], [0, 5, 15], [0, 10, 15], [0, 8, 15], [0, 13, 15],
+    [0, 15, 3], [0, 12, 15], [0, 3, 15], [0, 3, 8],
+]
+
+_BC7ENC_MODE_5_OPTIMAL_INDEX = 1
+_BC7ENC_MODE_6_OPTIMAL_INDEX = 5
+
+_BC7_WEIGHTS2 = [0, 21, 43, 64]
+_BC7_WEIGHTS4 = [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64]
+
+
+def _build_optimal_tables():
+    """Brute-force builds of BC7_MODE_5_OPTIMAL_ENDPOINTS (bc7.rs:1214-1250)
+    and BC7_MODE_6_OPTIMAL_ENDPOINTS (bc7.rs:1158-1212): the reference's own
+    tests assert the committed tables equal these builds, so generating is
+    equivalent to transcribing them (and far less error-prone)."""
+    import numpy as _np
+
+    l = _np.arange(128)[:, None]
+    h = _np.arange(128)[None, :]
+    invalid = (h < l) * (1 << 40)
+
+    # mode 5: BC7 777, weight index 1 of WEIGHTS2
+    w = _BC7_WEIGHTS2[_BC7ENC_MODE_5_OPTIMAL_INDEX]
+    low = (l << 1) | (l >> 6)
+    high = (h << 1) | (h >> 6)
+    k5 = (low * (64 - w) + high * w + 32) >> 6
+
+    # mode 6: BC7 777.1 with lp = 0, weight index 5 of WEIGHTS4
+    w = _BC7_WEIGHTS4[_BC7ENC_MODE_6_OPTIMAL_INDEX]
+    low = l << 1
+    high = h << 1
+    k6 = (low * (64 - w) + high * w + 32) >> 6
+
+    def best(k, c):
+        err = (k - c) ** 2 + invalid
+        i = int(err.argmin())  # first minimal in (l-major, h-minor) order
+        return (i // 128, i % 128)
+
+    mode5 = [best(k5, c) for c in range(256)]
+    mode6 = [(0, 0)] + [best(k6, c) for c in range(256)]
+    return mode5, mode6
+
+
+_OPTIMAL_TABLES = None
+
+
+def _optimal_tables():
+    global _OPTIMAL_TABLES
+    if _OPTIMAL_TABLES is None:
+        _OPTIMAL_TABLES = _build_optimal_tables()
+    return _OPTIMAL_TABLES
+
+
+def _convert_weights_to_bc7(weights, uastc_weight_bits, bc7_weight_bits):
+    luts = {
+        (1, 2): [0, 3],
+        (2, 4): [0, 5, 10, 15],
+        (3, 4): [0, 2, 4, 6, 9, 11, 13, 15],
+        (5, 4): [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 6, 7, 8, 9, 9, 9,
+                 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15],
+    }
+    if uastc_weight_bits == bc7_weight_bits:
+        return list(weights)
+    lut = luts[(uastc_weight_bits, bc7_weight_bits)]
+    return [lut[w] for w in weights]
+
+
+def _determine_pbits(total_comps, comp_bits, endpoint_pair, shared: bool):
+    """bc7.rs:408-553: f32 p-bit search; mutates endpoint_pair in place."""
+    import numpy as _np
+
+    f32 = _np.float32
+    total_bits = comp_bits + 1
+    iscalep = (1 << total_bits) - 1
+    scalep = f32(iscalep)
+
+    xl = [f32(endpoint_pair[0][c]) / f32(255.0) for c in range(4)]
+    xh = [f32(endpoint_pair[1][c]) / f32(255.0) for c in range(4)]
+
+    best_err = f32(1e9)
+    best_err0 = f32(1e9)
+    best_err1 = f32(1e9)
+    s_bit = 0
+    p_bits = [0, 0]
+    out_lo = [0, 0, 0, 0]
+    out_hi = [0, 0, 0, 0]
+
+    for p in range(2):
+        x_min = []
+        x_max = []
+        for c in range(4):
+            t = int((xl[c] * scalep - f32(p)) / f32(2.0) + f32(0.5))  # trunc
+            x_min.append(max(p, min(iscalep - 1 + p, t * 2 + p)))
+            t = int((xh[c] * scalep - f32(p)) / f32(2.0) + f32(0.5))
+            x_max.append(max(p, min(iscalep - 1 + p, t * 2 + p)))
+
+        scaled_low = []
+        scaled_high = []
+        for c in range(4):
+            s = (x_min[c] << (8 - total_bits)) & 0xFF
+            scaled_low.append(s | (s >> total_bits))
+            s = (x_max[c] << (8 - total_bits)) & 0xFF
+            scaled_high.append(s | (s >> total_bits))
+
+        if shared:
+            err = f32(0.0)
+            for i in range(total_comps):
+                err += (f32(scaled_low[i]) / f32(255.0) - xl[i]) ** 2 + (
+                    f32(scaled_high[i]) / f32(255.0) - xh[i]
+                ) ** 2
+            if err < best_err:
+                best_err = err
+                s_bit = p
+                out_lo = [x >> 1 for x in x_min]
+                out_hi = [x >> 1 for x in x_max]
+        else:
+            err0 = f32(0.0)
+            err1 = f32(0.0)
+            for i in range(total_comps):
+                err0 += (f32(scaled_low[i]) - xl[i] * f32(255.0)) ** 2
+                err1 += (f32(scaled_high[i]) - xh[i] * f32(255.0)) ** 2
+            if err0 < best_err0:
+                best_err0 = err0
+                p_bits[0] = p
+                out_lo = [x >> 1 for x in x_min]
+            if err1 < best_err1:
+                best_err1 = err1
+                p_bits[1] = p
+                out_hi = [x >> 1 for x in x_max]
+
+    endpoint_pair[0] = out_lo
+    endpoint_pair[1] = out_hi
+    return [s_bit, s_bit] if shared else p_bits
+
+
+def convert_block_to_bc7(block: bytes) -> bytes:
+    """16 UASTC block bytes -> 16 BC7 block bytes (bc7.rs:9-310)."""
+    assert len(block) == 16
+    r = _OBitReader(block)
+
+    mode_code = r.peek(7)
+    mode_index = _MODE_LUT[mode_code]
+    if mode_index >= len(_MODES):
+        raise OracleUastcError("invalid mode index")
+    mode = _MODES[mode_index]
+    (mode_id, code_size, range_index, fmt, uastc_weight_bits, plane_count,
+     subset_count, trans_flags_bits) = mode
+    r.remove(code_size)
+
+    output = bytearray(16)
+    w = _OBitWriterLsb(output)
+
+    if mode_id == 8:
+        rgba8 = [r.read(8) for _ in range(4)]
+        mode5_tab, mode6_tab = _optimal_tables()
+        # mode_6_optimal_endpoint_err: only c==0 (p=1) / c==255 (p=0) err 1
+        best_err0 = sum(1 for c in rgba8 if c == 255)
+        best_err1 = sum(1 for c in rgba8 if c == 0)
+        if best_err0 > 0 and best_err1 > 0:
+            bmode = 5
+            endpoint = [[0] * 4, [0] * 4]
+            for c in range(3):
+                endpoint[0][c] = mode5_tab[rgba8[c]][0]
+                endpoint[1][c] = mode5_tab[rgba8[c]][1]
+            endpoint[0][3] = rgba8[3]
+            endpoint[1][3] = rgba8[3]
+            p01 = [0, 0]
+            wts = [_BC7ENC_MODE_5_OPTIMAL_INDEX, 0]
+        else:
+            bmode = 6
+            best_p = best_err1 < best_err0
+            endpoint = [[0] * 4, [0] * 4]
+            for c in range(4):
+                lo, hi = mode6_tab[rgba8[c] + (0 if best_p else 1)]
+                endpoint[0][c] = lo
+                endpoint[1][c] = hi
+            p01 = [int(best_p), int(best_p)]
+            wts = [_BC7ENC_MODE_6_OPTIMAL_INDEX, _BC7ENC_MODE_6_OPTIMAL_INDEX]
+
+        bc7 = _BC7_MODES[bmode]
+        _, _, _, color_bits, alpha_bits, bweight_bits, bplanes, _, _, _ = bc7
+        w.write(bmode + 1, 1 << bmode)
+        if bmode == 5:
+            w.write(2, 0)
+        for channel in range(4):
+            bit_count = color_bits if channel != 3 else alpha_bits
+            w.write(bit_count, endpoint[0][channel])
+            w.write(bit_count, endpoint[1][channel])
+        if bmode == 6:
+            w.write(2, (p01[1] << 1) | p01[0])
+        for weight in wts[:bplanes]:
+            w.write(bweight_bits - 1, weight)
+            for _ in range(15):
+                w.write(bweight_bits, weight)
+        return bytes(output)
+
+    bc7_mode_index = _UASTC_TO_BC7_MODES[mode_id]
+    (_, pat_bits, bc7_endpoint_count, color_bits, alpha_bits, bweight_bits,
+     bplanes, bsubsets, bp_bits, bsp_bits) = _BC7_MODES[bc7_mode_index]
+
+    r.remove(trans_flags_bits)
+
+    if plane_count == 2 and fmt == _LA:
+        compsel = 3
+    elif plane_count == 2:
+        compsel = r.read(2)
+    else:
+        compsel = 0
+
+    if mode_id == 7:
+        uastc_pat, pattern_count = r.read(5), 19
+    elif subset_count == 1:
+        uastc_pat, pattern_count = 0, 1
+    elif subset_count == 2:
+        uastc_pat, pattern_count = r.read(5), 30
+    else:
+        uastc_pat, pattern_count = r.read(4), 11
+    if uastc_pat >= pattern_count:
+        raise OracleUastcError("block pattern is not valid")
+
+    bc7_endpoints_per_channel = 2 * bsubsets
+    bc7_channel_count = bc7_endpoint_count // bc7_endpoints_per_channel
+
+    channel_count = {_RGB: 3, _RGBA: 4, _LA: 2}[fmt]
+    endpoint_count = channel_count * subset_count * 2
+    trit_quints, bit_vals = _decode_endpoints(r, range_index, endpoint_count)
+    unquant = [0] * 18
+    for i in range(endpoint_count):
+        unquant[i] = _unquant_endpoint(trit_quints[i], bit_vals[i], range_index)
+    pairs = _assemble_endpoint_pairs(fmt, unquant)
+    endpoints = [[list(p[0]), list(p[1])] for p in pairs]
+    while len(endpoints) < 3:
+        endpoints.append([[0, 0, 0, 0], [0, 0, 0, 0]])
+
+    raw = _decode_weights_raw(r, mode, uastc_pat)
+    weights = [[0] * 16, [0] * 16]
+    if plane_count == 1:
+        weights[0] = _convert_weights_to_bc7(raw, uastc_weight_bits, bweight_bits)
+    else:
+        weights[0] = _convert_weights_to_bc7(raw[0::2], uastc_weight_bits, bweight_bits)
+        weights[1] = _convert_weights_to_bc7(raw[1::2], uastc_weight_bits, bweight_bits)
+
+    w.write(bc7_mode_index + 1, 1 << bc7_mode_index)
+
+    bc7_anchors = [0]
+
+    if bsubsets != 1:
+        if mode_id == 1:
+            index, _ = _PATTERNS_2_BC7_INDEX_INV[0]
+            pattern = _PATTERNS_2_BC7[uastc_pat]
+            anchors = _PATTERNS_2_BC7_ANCHORS[index]
+            perm = [0, 0]
+            bc7_pat = index
+        elif mode_id == 7:
+            index, p = _PATTERNS_2_3_BC7_INDEX_PERM[uastc_pat]
+            perm = _PATTERNS_2_3_BC7_TO_ASTC_PERMUTATIONS[p]
+            pattern = _PATTERNS_2_3_BC7[uastc_pat]
+            anchors = _PATTERNS_3_BC7_ANCHORS[index]
+            bc7_pat = index
+        elif subset_count == 2:
+            index, inv = _PATTERNS_2_BC7_INDEX_INV[uastc_pat]
+            pattern = _PATTERNS_2_BC7[uastc_pat]
+            anchors = _PATTERNS_2_BC7_ANCHORS[index]
+            perm = [1, 0] if inv else [0, 1]
+            bc7_pat = index
+        else:
+            index, p = _PATTERNS_3_BC7_INDEX_PERM[uastc_pat]
+            perm = _PATTERNS_3_BC7_TO_ASTC_PERMUTATIONS[p]
+            pattern = _PATTERNS_3_BC7[uastc_pat]
+            anchors = _PATTERNS_3_BC7_ANCHORS[index]
+            bc7_pat = index
+        bc7_anchors = anchors
+
+        w.write(pat_bits, bc7_pat)
+
+        permuted = [endpoints[perm[i]] for i in range(len(perm))]
+        endpoints = [
+            [list(pair[0]), list(pair[1])] for pair in permuted
+        ] + endpoints[len(perm):]
+
+        weight_mask = (1 << bweight_bits) - 1
+        weight_msb_mask = 1 << (bweight_bits - 1)
+        invert_subset = [False] * 3
+        for k, anchor in enumerate(anchors):
+            invert_subset[k] = (weights[0][anchor] & weight_msb_mask) != 0
+        for k in range(bsubsets):
+            if invert_subset[k]:
+                endpoints[k][0], endpoints[k][1] = endpoints[k][1], endpoints[k][0]
+        for i in range(16):
+            if invert_subset[pattern[i]]:
+                weights[0][i] = ~weights[0][i] & weight_mask
+    else:
+        weight_mask = (1 << bweight_bits) - 1
+        weight_msb_mask = 1 << (bweight_bits - 1)
+        if plane_count == 1:
+            if weights[0][0] & weight_msb_mask:
+                endpoints[0][0], endpoints[0][1] = endpoints[0][1], endpoints[0][0]
+                weights[0] = [~x & weight_mask for x in weights[0]]
+        else:
+            invert_plane = [
+                bool(weights[0][0] & weight_msb_mask),
+                bool(weights[1][0] & weight_msb_mask),
+            ]
+            pair = endpoints[0]
+            for e in pair:
+                e[compsel], e[3] = e[3], e[compsel]
+            if invert_plane[0]:
+                pair[0], pair[1] = pair[1], pair[0]
+            if invert_plane[0] != invert_plane[1]:
+                pair[0][3], pair[1][3] = pair[1][3], pair[0][3]
+            for k in range(2):
+                if invert_plane[k]:
+                    weights[k] = [~x & weight_mask for x in weights[k]]
+            w.write(2, (compsel + 1) & 0b11)
+            if bc7_mode_index == 4:
+                w.write(1, 0)
+
+    sub_endpoints = endpoints[:bsubsets]
+
+    p01 = [[0, 0], [0, 0], [0, 0]]
+    if bp_bits != 0:
+        for k in range(bsubsets):
+            p01[k] = _determine_pbits(
+                bc7_channel_count, color_bits, sub_endpoints[k], shared=False
+            )
+    elif bsp_bits != 0:
+        for k in range(bsubsets):
+            p01[k] = _determine_pbits(
+                bc7_channel_count, color_bits, sub_endpoints[k], shared=True
+            )
+    else:
+        def scale(e, bits):
+            return (e * ((1 << bits) - 1) + 127) // 255
+
+        for pair in sub_endpoints:
+            for e in pair:
+                for c in range(3):
+                    e[c] = scale(e[c], color_bits)
+                e[3] = scale(e[3], alpha_bits)
+
+    for channel in range(bc7_channel_count):
+        bit_count = color_bits if channel != 3 else alpha_bits
+        for pair in sub_endpoints:
+            w.write(bit_count, pair[0][channel])
+            w.write(bit_count, pair[1][channel])
+
+    if bp_bits != 0:
+        for k in range(bsubsets):
+            w.write(2, (p01[k][1] << 1) | p01[k][0])
+    elif bsp_bits != 0:
+        w.write(2, (p01[1][0] << 1) | p01[0][0])
+
+    bit_counts = [bweight_bits] * 16
+    for anchor in bc7_anchors:
+        bit_counts[anchor] -= 1
+    for plane_weights in weights[:bplanes]:
+        for i in range(16):
+            w.write(bit_counts[i], plane_weights[i])
 
     return bytes(output)
 

@@ -17,6 +17,9 @@ from basisu_rs_tpu.ops import transcode_blocks
 from oracle_uastc import (
     OracleUastcError,
     convert_block_to_astc,
+    convert_block_to_bc7,
+    convert_block_to_etc1,
+    convert_block_to_etc2,
     decode_block_to_rgba,
     mode_code_bits,
 )
@@ -33,6 +36,9 @@ def _rgba_words(block: bytes) -> np.ndarray:
 _ORACLES = {
     "rgba": _rgba_words,
     "astc": lambda block: np.frombuffer(convert_block_to_astc(block), np.uint8),
+    "etc1": lambda block: np.frombuffer(convert_block_to_etc1(block), np.uint8),
+    "etc2": lambda block: np.frombuffer(convert_block_to_etc2(block), np.uint8),
+    "bc7": lambda block: np.frombuffer(convert_block_to_bc7(block), np.uint8),
 }
 
 
