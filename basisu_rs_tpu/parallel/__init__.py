@@ -1,6 +1,12 @@
 """Multi-chip / multi-host parallel execution."""
 
-from .mesh import make_mesh, shard_blocks, sharded_transcode_step
+from .mesh import (
+    make_mesh,
+    shard_blocks,
+    sharded_etc1s_transcode,
+    sharded_transcode,
+    sharded_transcode_step,
+)
 from .multihost import global_stats, initialize, shard_corpus
 
 __all__ = [
@@ -9,5 +15,7 @@ __all__ = [
     "make_mesh",
     "shard_blocks",
     "shard_corpus",
+    "sharded_etc1s_transcode",
+    "sharded_transcode",
     "sharded_transcode_step",
 ]

@@ -147,3 +147,133 @@ def sharded_transcode(blocks_u8, target: str, mesh: Mesh, backend: str | None = 
     return partitioned_transcode(
         blocks_u8, target, lambda m: n_dev * _bucket(-(-m // n_dev)), run_group
     )
+
+
+# ---------------------------------------------------------------------------
+# ETC1S: codebooks replicated, index streams sharded over the block axis
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _sharded_etc1s_cached(
+    kind: str, ep_chunks: int, sel_chunks: int, rows_per_shard: int,
+    mesh: Mesh, backend: str, interpret: bool,
+):
+    if backend == "pallas":
+        from ..ops.etc1s_pallas import _build
+
+        inner = _build(kind, ep_chunks, sel_chunks, rows_per_shard, interpret)
+
+        def step(ep_tab, sel_tab, ep_idx, sel_idx, mods):
+            outs = inner(ep_tab, sel_tab, ep_idx, sel_idx, mods)
+            return jnp.stack(outs, axis=-1)  # [rows, 128, W]
+
+        in_specs = (P(), P(), P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P())
+        out_specs = P(BLOCK_AXIS, None, None)
+    else:
+        from ..ops.etc1s import (
+            etc1s_alpha_kernel,
+            etc1s_etc1_kernel,
+            etc1s_rgba_kernel,
+        )
+
+        fn = {
+            "rgba": etc1s_rgba_kernel,
+            "alpha": etc1s_alpha_kernel,
+            "etc1": etc1s_etc1_kernel,
+        }[kind]
+
+        def step(ep_tab, sel_tab, ep_idx, sel_idx):
+            return fn(ep_tab, sel_tab, ep_idx, sel_idx)  # [n, W]
+
+        in_specs = (P(), P(), P(BLOCK_AXIS), P(BLOCK_AXIS))
+        out_specs = P(BLOCK_AXIS, None)
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    return jax.jit(sharded)
+
+
+def sharded_etc1s_transcode(
+    kind: str, endpoints_np, selectors_np, ep_idx_np, sel_idx_np, mesh: Mesh,
+    backend: str | None = None, interpret: bool = False,
+):
+    """Multi-chip ETC1S back-end: codebooks are replicated over the mesh
+    (they are shared by every block of a file, container/basis.py), the
+    per-block (endpoint, selector) index streams shard over the block axis.
+    No collectives are required by the math - like the UASTC path this is
+    purely data-parallel (mod.rs:97-186 per-block closures).
+
+    kind: 'rgba' (packed texels), 'alpha' (G-channel bytes), or 'etc1'
+    (block lanes).  endpoints_np: uint8 [E,4]; selectors_np: uint8 [S,4]
+    row bytes.  Returns uint32 [N, W] (W = 16/16/2).
+    """
+    backend = backend or mesh_backend(mesh)
+    n_dev = mesh.devices.size
+    n = len(ep_idx_np)
+    out_words = {"rgba": 16, "alpha": 16, "etc1": 2}[kind]
+    repl = NamedSharding(mesh, P())
+
+    if kind == "etc1":
+        from ..ops.etc1s import selector_wire_words_np
+
+        sel_natural = selector_wire_words_np(selectors_np)
+    else:
+        sel_natural = selectors_np
+
+    if backend == "pallas":
+        from ..ops.etc1s_pallas import (
+            LANE,
+            _packed_mods_np,
+            pack_endpoints_np,
+            pack_selectors_np,
+            pack_wire_np,
+            rows_for_kind,
+        )
+        from ..ops import bits
+
+        ep_tab = pack_endpoints_np(endpoints_np)
+        sel_tab = (
+            pack_wire_np(sel_natural) if kind == "etc1"
+            else pack_selectors_np(selectors_np)
+        )
+        # per-shard length: pow2 bucket of whole tiles (mirrors _run's
+        # host-side bucketing so shard shapes hit the same compile cache)
+        tile = rows_for_kind(kind) * LANE
+        per = tile
+        while per < -(-n // n_dev):
+            per *= 2
+        n_pad = per * n_dev
+        ep_idx = np.zeros(n_pad, np.int32)
+        ep_idx[:n] = ep_idx_np
+        sel_idx = np.zeros(n_pad, np.int32)
+        sel_idx[:n] = sel_idx_np
+        call = _sharded_etc1s_cached(
+            kind, ep_tab.shape[0], sel_tab.shape[0], per // LANE, mesh,
+            backend, interpret,
+        )
+        sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+        out = call(
+            jax.device_put(jnp.asarray(ep_tab), repl),
+            jax.device_put(jnp.asarray(sel_tab), repl),
+            jax.device_put(jnp.asarray(ep_idx.reshape(-1, LANE)), sharding),
+            jax.device_put(jnp.asarray(sel_idx.reshape(-1, LANE)), sharding),
+            jax.device_put(jnp.asarray(bits.pad_table_for_kernel(_packed_mods_np())), repl),
+        )
+        return np.asarray(out).reshape(n_pad, out_words)[:n]
+
+    n_pad = n + ((-n) % n_dev)
+    ep_idx = np.zeros(n_pad, np.int32)
+    ep_idx[:n] = ep_idx_np
+    sel_idx = np.zeros(n_pad, np.int32)
+    sel_idx[:n] = sel_idx_np
+    call = _sharded_etc1s_cached(kind, 0, 0, 0, mesh, backend, interpret)
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS))
+    out = call(
+        jax.device_put(jnp.asarray(endpoints_np), repl),
+        jax.device_put(jnp.asarray(sel_natural), repl),
+        jax.device_put(jnp.asarray(ep_idx), sharding),
+        jax.device_put(jnp.asarray(sel_idx), sharding),
+    )
+    return np.asarray(out)[:n]

@@ -229,6 +229,64 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     return rates
 
 
+def bench_etc1s_sharded(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> float:
+    """ETC1S->RGBA rate through the mesh-sharded path (codebooks replicated,
+    index streams sharded; on one chip this demonstrates per-chip parity of
+    the sharded ETC1S path with the plain kernel)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from basisu_rs_tpu.ops import bits
+    from basisu_rs_tpu.ops.etc1s_pallas import (
+        LANE as EL,
+        _build,
+        _packed_mods_np,
+        pack_endpoints_np,
+        pack_selectors_np,
+        rows_for_kind,
+    )
+    from basisu_rs_tpu.parallel.mesh import BLOCK_AXIS, make_mesh
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    rng = np.random.default_rng(5)
+    endpoints = np.zeros((e, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+    endpoints[:, 3] = rng.integers(0, 8, e)
+    selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+    ep_tab = jnp.asarray(pack_endpoints_np(endpoints))
+    tab = jnp.asarray(pack_selectors_np(selectors))
+    mods = jnp.asarray(bits.pad_table_for_kernel(_packed_mods_np()))
+
+    tile = rows_for_kind("rgba") * EL * n_dev
+    n_pad = ((n + tile - 1) // tile) * tile
+    ep_idx = np.resize(rng.integers(0, e, n).astype(np.int32), n_pad)
+    sel_idx = np.resize(rng.integers(0, s, n).astype(np.int32), n_pad)
+    sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+    epi = jax.device_put(jnp.asarray(ep_idx.reshape(-1, EL)), sharding)
+    seli = jax.device_put(jnp.asarray(sel_idx.reshape(-1, EL)), sharding)
+    call = _build("rgba", ep_tab.shape[0], tab.shape[0], n_pad // n_dev // EL, False)
+
+    def per_shard(a, b, reps):
+        def body(i, c):
+            outs = call(ep_tab, tab, a ^ (c & 1023), b, mods)
+            return outs[0][0, 0].astype(jnp.int32)
+
+        r = jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+        return jax.lax.psum(r, BLOCK_AXIS)
+
+    @partial(jax.jit, static_argnums=1)
+    def chained(x, reps):
+        return jax.shard_map(
+            partial(per_shard, reps=reps),
+            mesh=mesh,
+            in_specs=(P(BLOCK_AXIS, None), P(BLOCK_AXIS, None)),
+            out_specs=P(),
+            check_vma=False,
+        )(x, seli)
+
+    return n_pad * 16 / _measure_chained(lambda x, reps: chained(x, reps), epi)
+
+
 def bench_etc1s_host(n_blocks: int = 1 << 18) -> float:
     """Single-core rate of the C++ ETC1S entropy front-end (blocks/s) - the
     host half of the ETC1S pipeline budget (BUILD_STATUS roofline)."""
@@ -344,6 +402,9 @@ def main() -> None:
         )
         extra["sharded_bc7_mtexels_s"] = round(srate / 1e6, 1)
         extra["sharded_pct_of_plain"] = round(srate / rate * 100, 1)
+        serate = bench_etc1s_sharded()
+        log(f"ETC1S->RGBA (sharded, {len(jax.devices())} chip(s)): {serate/1e9:.2f} Gtexels/s")
+        extra["sharded_etc1s_rgba_mtexels_s"] = round(serate / 1e6, 1)
 
     if os.environ.get("BENCH_ALL"):
         bench_corpus()

@@ -100,3 +100,75 @@ def test_sharded_step_counts_errors(golden):
     lanes = lanes_from_bytes_np(blocks, 4)
     _, err_count = step(shard_blocks(lanes, mesh))
     assert int(err_count) == 2
+
+
+# ---------------------------------------------------------------------------
+# ETC1S sharding: replicated codebooks, sharded index streams
+# ---------------------------------------------------------------------------
+
+
+def _random_etc1s_inputs(seed, n=1000, n_endpoints=37, n_selectors=53):
+    rng = np.random.default_rng(seed)
+    endpoints = np.stack(
+        [
+            rng.integers(0, 32, n_endpoints, dtype=np.uint8),
+            rng.integers(0, 32, n_endpoints, dtype=np.uint8),
+            rng.integers(0, 32, n_endpoints, dtype=np.uint8),
+            rng.integers(0, 8, n_endpoints, dtype=np.uint8),
+        ],
+        axis=-1,
+    )
+    selectors = rng.integers(0, 256, (n_selectors, 4), dtype=np.uint8)
+    ep_idx = rng.integers(0, n_endpoints, n, dtype=np.int32)
+    sel_idx = rng.integers(0, n_selectors, n, dtype=np.int32)
+    return endpoints, selectors, ep_idx, sel_idx
+
+
+@pytest.mark.parametrize("kind", ["rgba", "alpha", "etc1"])
+def test_sharded_etc1s_matches_single_device(kind):
+    """The mesh path (codebooks replicated, indices sharded over 8 devices,
+    N not divisible by the mesh) agrees bit-exactly with the single-device
+    XLA kernels (which are themselves oracle-anchored)."""
+    import jax.numpy as jnp
+
+    from basisu_rs_tpu.ops import etc1s as E
+    from basisu_rs_tpu.parallel.mesh import sharded_etc1s_transcode
+
+    endpoints, selectors, ep_idx, sel_idx = _random_etc1s_inputs(0xE7C15 + len(kind))
+    mesh = make_mesh(8)
+    got = sharded_etc1s_transcode(kind, endpoints, selectors, ep_idx, sel_idx, mesh)
+
+    sel = E.selector_wire_words_np(selectors) if kind == "etc1" else selectors
+    fn = {
+        "rgba": E.etc1s_rgba_kernel,
+        "alpha": E.etc1s_alpha_kernel,
+        "etc1": E.etc1s_etc1_kernel,
+    }[kind]
+    expected = np.asarray(
+        fn(jnp.asarray(endpoints), jnp.asarray(sel),
+           jnp.asarray(ep_idx), jnp.asarray(sel_idx))
+    )
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_sharded_etc1s_pallas_interpret_composes():
+    """The Pallas ETC1S kernels compose with shard_map (interpret mode on the
+    CPU mesh; on TPU hardware the same composition lowers via Mosaic)."""
+    import jax.numpy as jnp
+
+    from basisu_rs_tpu.ops import etc1s as E
+    from basisu_rs_tpu.parallel.mesh import sharded_etc1s_transcode
+
+    endpoints, selectors, ep_idx, sel_idx = _random_etc1s_inputs(7, n=600)
+    mesh = make_mesh(8)
+    got = sharded_etc1s_transcode(
+        "rgba", endpoints, selectors, ep_idx, sel_idx, mesh,
+        backend="pallas", interpret=True,
+    )
+    expected = np.asarray(
+        E.etc1s_rgba_kernel(
+            jnp.asarray(endpoints), jnp.asarray(selectors),
+            jnp.asarray(ep_idx), jnp.asarray(sel_idx),
+        )
+    )
+    np.testing.assert_array_equal(got, expected)
