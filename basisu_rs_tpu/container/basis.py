@@ -264,8 +264,31 @@ def _check_errs(err: np.ndarray, blocks: np.ndarray) -> None:
         raise BasisError("block pattern is not valid")
 
 
-def read_to_rgba(buf: bytes):
-    """-> (Header, [Image]) of RGBA bytes (reference: basis.rs:8-90)."""
+def _transcode_uastc_blocks(blocks, target, mesh):
+    if mesh is None:
+        return transcode_blocks(blocks, target)
+    from ..parallel.mesh import sharded_transcode
+
+    return sharded_transcode(blocks, target, mesh)
+
+
+def _run_etc1s_rgba(endpoints, selectors, ep_idx, sel_idx, alpha_pass, mesh):
+    if mesh is None:
+        return run_etc1s_rgba(endpoints, selectors, ep_idx, sel_idx, alpha_pass)
+    from ..parallel.mesh import sharded_etc1s_transcode
+
+    rgba = sharded_etc1s_transcode("rgba", endpoints, selectors, ep_idx, sel_idx, mesh)
+    if alpha_pass is not None:
+        a = sharded_etc1s_transcode("alpha", endpoints, selectors, *alpha_pass, mesh)
+        rgba = (rgba & np.uint32(0x00FFFFFF)) | (a << np.uint32(24))
+    return rgba
+
+
+def read_to_rgba(buf: bytes, mesh=None):
+    """-> (Header, [Image]) of RGBA bytes (reference: basis.rs:8-90).
+
+    mesh: optional jax.sharding.Mesh - device work shards over its block
+    axis (parallel/mesh.py); None runs on the default single device."""
     header, descs = _validated(buf)
     fmt = header.texture_format()
     images: list[Image] = []
@@ -305,12 +328,13 @@ def read_to_rgba(buf: bytes):
             alpha_pass = None
             if header.has_alpha:
                 alpha_pass = (np.concatenate(a_ep_parts), np.concatenate(a_sel_parts))
-            texels = run_etc1s_rgba(
+            texels = _run_etc1s_rgba(
                 dec.endpoints,
                 dec.selectors,
                 np.concatenate(ep_parts),
                 np.concatenate(sel_parts),
                 alpha_pass,
+                mesh,
             )
             ofs = 0
             for rgb_desc in rgb_descs:
@@ -333,7 +357,7 @@ def read_to_rgba(buf: bytes):
     if fmt == TexFormat.UASTC4x4:
         for desc in descs:
             blocks = _uastc_slice_blocks(desc, buf)
-            texels, err = transcode_blocks(blocks, "rgba")
+            texels, err = _transcode_uastc_blocks(blocks, "rgba", mesh)
             _check_errs(err, blocks)
             data = _blocks_to_image_bytes(texels, desc.num_blocks_x)
             images.append(
@@ -358,7 +382,7 @@ def _blocks_to_image_bytes(texels: np.ndarray, num_blocks_x: int) -> np.ndarray:
     return t.astype("<u4").view(np.uint8).reshape(-1)
 
 
-def _read_to_blocks(buf: bytes, target: str, block_size: int):
+def _read_to_blocks(buf: bytes, target: str, block_size: int, mesh=None):
     """Shared UASTC path of read_to_{etc1,etc2,astc,bc7} (basis.rs:92-260)."""
     header, descs = _validated(buf)
     fmt = header.texture_format()
@@ -367,7 +391,7 @@ def _read_to_blocks(buf: bytes, target: str, block_size: int):
     if fmt == TexFormat.UASTC4x4:
         for desc in descs:
             blocks = _uastc_slice_blocks(desc, buf)
-            out, err = transcode_blocks(blocks, target)
+            out, err = _transcode_uastc_blocks(blocks, target, mesh)
             _check_errs(err, blocks)
             images.append(
                 Image(
@@ -381,8 +405,8 @@ def _read_to_blocks(buf: bytes, target: str, block_size: int):
     return header, None
 
 
-def read_to_etc1(buf: bytes) -> list[Image]:
-    header, images = _read_to_blocks(buf, "etc1", ETC1_BLOCK_SIZE)
+def read_to_etc1(buf: bytes, mesh=None) -> list[Image]:
+    header, images = _read_to_blocks(buf, "etc1", ETC1_BLOCK_SIZE, mesh)
     if images is not None:
         return images
     if header.texture_format() != TexFormat.ETC1S:
@@ -400,12 +424,24 @@ def read_to_etc1(buf: bytes) -> list[Image]:
         ep_parts.append(s.endpoint_index)
         sel_parts.append(s.selector_index)
     if descs:
-        out = run_etc1s_etc1(
-            dec.endpoints,
-            dec.selectors,
-            np.concatenate(ep_parts),
-            np.concatenate(sel_parts),
-        )
+        if mesh is None:
+            out = run_etc1s_etc1(
+                dec.endpoints,
+                dec.selectors,
+                np.concatenate(ep_parts),
+                np.concatenate(sel_parts),
+            )
+        else:
+            from ..parallel.mesh import sharded_etc1s_transcode
+
+            out = sharded_etc1s_transcode(
+                "etc1",
+                dec.endpoints,
+                dec.selectors,
+                np.concatenate(ep_parts),
+                np.concatenate(sel_parts),
+                mesh,
+            )
         ofs = 0
         for desc in descs:
             n = desc.num_blocks_x * desc.num_blocks_y
@@ -423,22 +459,22 @@ def read_to_etc1(buf: bytes) -> list[Image]:
     return images
 
 
-def read_to_etc2(buf: bytes) -> list[Image]:
-    header, images = _read_to_blocks(buf, "etc2", ETC2_BLOCK_SIZE)
+def read_to_etc2(buf: bytes, mesh=None) -> list[Image]:
+    header, images = _read_to_blocks(buf, "etc2", ETC2_BLOCK_SIZE, mesh)
     if images is None:
         raise BasisError("unsupported texture format")
     return images
 
 
-def read_to_astc(buf: bytes) -> list[Image]:
-    header, images = _read_to_blocks(buf, "astc", ASTC_BLOCK_SIZE)
+def read_to_astc(buf: bytes, mesh=None) -> list[Image]:
+    header, images = _read_to_blocks(buf, "astc", ASTC_BLOCK_SIZE, mesh)
     if images is None:
         raise BasisError("unsupported texture format")
     return images
 
 
-def read_to_bc7(buf: bytes) -> list[Image]:
-    header, images = _read_to_blocks(buf, "bc7", BC7_BLOCK_SIZE)
+def read_to_bc7(buf: bytes, mesh=None) -> list[Image]:
+    header, images = _read_to_blocks(buf, "bc7", BC7_BLOCK_SIZE, mesh)
     if images is None:
         raise BasisError("unsupported texture format")
     return images

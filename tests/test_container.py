@@ -355,3 +355,49 @@ def test_image_into_rgba_bytes(golden):
         b.data, texels.reshape(-1).astype("<u4").view(np.uint8)
     )
     assert b.into_rgba_bytes() is b  # byte images pass through
+
+
+def test_file_api_mesh_parity(uastc_file, etc1s_setup):
+    """read_to_*(buf, mesh=...) shards the device work over the mesh and
+    reproduces the single-device output bit-exactly - UASTC targets, ETC1S
+    RGBA with alpha pairing, and ETC1S ETC1."""
+    from basisu_rs_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+
+    _, ubuf = uastc_file
+    for fn in (read_to_bc7, read_to_etc1, read_to_etc2, read_to_astc):
+        plain = fn(ubuf)
+        sharded = fn(ubuf, mesh=mesh)
+        for a, b in zip(plain, sharded):
+            np.testing.assert_array_equal(a.data, b.data)
+    _, plain = read_to_rgba(ubuf)
+    _, sharded = read_to_rgba(ubuf, mesh=mesh)
+    np.testing.assert_array_equal(plain[0].data, sharded[0].data)
+
+    endpoints, selectors, ep_idx, sel_idx, nbx, nby = etc1s_setup
+    rng = np.random.default_rng(7)
+    a_ep = rng.integers(0, len(endpoints), nbx * nby).astype(np.uint16)
+    a_sel = rng.integers(0, len(selectors), nbx * nby).astype(np.uint16)
+    ebuf = write_etc1s_basis(
+        endpoints, selectors,
+        [
+            dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+                 orig_width=nbx * 4, orig_height=nby * 4),
+            dict(ep_idx=a_ep, sel_idx=a_sel, nbx=nbx, nby=nby,
+                 orig_width=nbx * 4, orig_height=nby * 4, alpha=True),
+        ],
+        has_alpha=True,
+    )
+    _, plain = read_to_rgba(ebuf)
+    _, sharded = read_to_rgba(ebuf, mesh=mesh)
+    np.testing.assert_array_equal(plain[0].data, sharded[0].data)
+
+    ebuf1 = write_etc1s_basis(
+        endpoints, selectors,
+        [dict(ep_idx=ep_idx, sel_idx=sel_idx, nbx=nbx, nby=nby,
+              orig_width=nbx * 4, orig_height=nby * 4)],
+    )
+    plain = read_to_etc1(ebuf1)
+    sharded = read_to_etc1(ebuf1, mesh=mesh)
+    np.testing.assert_array_equal(plain[0].data, sharded[0].data)
