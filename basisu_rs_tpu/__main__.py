@@ -76,7 +76,12 @@ def cmd_transcode(args) -> int:
         return 2
 
     buf = Path(args.file).read_bytes()
-    result = readers[args.target](buf)
+    kwargs = {}
+    if getattr(args, "mesh", 0) and args.target != "uastc":
+        from .parallel.mesh import make_mesh
+
+        kwargs["mesh"] = make_mesh(args.mesh)
+    result = readers[args.target](buf, **kwargs)
     images = result[1] if args.target == "rgba" else result
     outdir = Path(args.output)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -173,6 +178,14 @@ def main(argv=None) -> int:
         "(rgba only)",
     )
     pt.add_argument("-o", "--output", default=".")
+    pt.add_argument(
+        "--mesh",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shard the device work over an N-device mesh "
+        "(0 = single device; uastc passthrough ignores it)",
+    )
     pt.set_defaults(fn=cmd_transcode)
 
     ps = sub.add_parser("selftest", help="golden-corpus parity check on this host")

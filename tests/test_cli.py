@@ -37,3 +37,17 @@ def test_cli_transcode(tmp_path, golden, capsys):
     np.testing.assert_array_equal(data, expected)
     meta = json.loads((out_dir / "t_0.bc7.json").read_text())
     assert meta == {"w": 24, "h": 16, "stride": 96, "target": "bc7"}
+
+
+def test_cli_transcode_mesh(tmp_path, golden):
+    """--mesh N shards the transcode over an N-device mesh, bit-exactly."""
+    f = _make_file(tmp_path, golden)
+    out_dir = tmp_path / "out_mesh"
+    assert main(
+        ["transcode", str(f), "--target", "bc7", "--mesh", "8", "-o", str(out_dir)]
+    ) == 0
+    data = np.fromfile(out_dir / "t_0.bc7.bin", np.uint8).reshape(-1, 16)
+    from basisu_rs_tpu.ops import transcode_blocks
+
+    expected, _ = transcode_blocks(golden["bc7_in"][:24], "bc7")
+    np.testing.assert_array_equal(data, expected)
