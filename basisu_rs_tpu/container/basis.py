@@ -277,11 +277,12 @@ def _run_etc1s_rgba(endpoints, selectors, ep_idx, sel_idx, alpha_pass, mesh):
         return run_etc1s_rgba(endpoints, selectors, ep_idx, sel_idx, alpha_pass)
     from ..parallel.mesh import sharded_etc1s_transcode
 
-    rgba = sharded_etc1s_transcode("rgba", endpoints, selectors, ep_idx, sel_idx, mesh)
     if alpha_pass is not None:
-        a = sharded_etc1s_transcode("alpha", endpoints, selectors, *alpha_pass, mesh)
-        rgba = (rgba & np.uint32(0x00FFFFFF)) | (a << np.uint32(24))
-    return rgba
+        return sharded_etc1s_transcode(
+            "rgba_alpha", endpoints, selectors, ep_idx, sel_idx, mesh,
+            extra_idx=alpha_pass,
+        )
+    return sharded_etc1s_transcode("rgba", endpoints, selectors, ep_idx, sel_idx, mesh)
 
 
 def read_to_rgba(buf: bytes, mesh=None):

@@ -124,13 +124,18 @@ def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass
     On TPU the Pallas kernels run (chunked in-VMEM codebook gathers); the
     jnp.take path serves CPU."""
     if _use_pallas():
-        from .etc1s_pallas import etc1s_alpha_pallas, etc1s_rgba_pallas
+        from .etc1s_pallas import etc1s_rgba_alpha_pallas, etc1s_rgba_pallas
 
-        rgba = etc1s_rgba_pallas(endpoints_np, selectors_np, ep_idx_np, sel_idx_np)
         if alpha_pass is not None:
-            a = etc1s_alpha_pallas(endpoints_np, selectors_np, *alpha_pass)
-            rgba = (rgba & U32(0x00FFFFFF)) | (a << U32(24))
-        return np.asarray(rgba)
+            # fused kernel: one launch, no [N,16] intermediates through HBM
+            return np.asarray(
+                etc1s_rgba_alpha_pallas(
+                    endpoints_np, selectors_np, ep_idx_np, sel_idx_np, *alpha_pass
+                )
+            )
+        return np.asarray(
+            etc1s_rgba_pallas(endpoints_np, selectors_np, ep_idx_np, sel_idx_np)
+        )
     rgba = _jitted("rgba")(
         jnp.asarray(endpoints_np), jnp.asarray(selectors_np),
         jnp.asarray(ep_idx_np.astype(np.int32)), jnp.asarray(sel_idx_np.astype(np.int32)),

@@ -35,7 +35,7 @@ ROWS = 8  # legacy default; see rows_for_kind
 # Measured per-kind grid tiles (v5e sweep over 8/16/32): the RGBA kernels
 # prefer 32-row tiles (37.9 -> 67.8 Gtex/s vs the old 8), the tiny ETC1
 # repack peaks at 16 (80.6 -> 104.6).  8-row tiles are uniformly worst.
-ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16}
+ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16, "rgba_alpha": 32}
 
 
 def rows_for_kind(kind: str) -> int:
@@ -128,18 +128,48 @@ def _rgba_kernel_body(ep_words, sel_words, out_refs, alpha_only: bool):
                 out_refs[y * 4 + x][...] = px
 
 
+def _rgba_alpha_kernel_body(ep_words, sel_words, a_ep_words, a_sel_words, out_refs):
+    """Fused RGB + alpha slice pair: one launch emits the final packed RGBA
+    (the alpha byte is the G channel of the alpha slice's palette color,
+    mod.rs:139-143) - no [N,16] intermediates round-tripping through HBM."""
+    pal = _palette(ep_words)
+    palw = [
+        (pal[k][0].astype(U32) | (pal[k][1].astype(U32) << 8)
+         | (pal[k][2].astype(U32) << 16))
+        for k in range(4)
+    ]
+    a_pal = _palette(a_ep_words)
+    a_g = [a_pal[k][1].astype(U32) << 24 for k in range(4)]
+    for y in range(4):
+        row = (sel_words >> (8 * y)) & 0xFF
+        a_row = (a_sel_words >> (8 * y)) & 0xFF
+        for x in range(4):
+            s = ((row >> (2 * x)) & 3).astype(I32)
+            px = palw[0]
+            for k in range(1, 4):
+                px = jnp.where(s == k, palw[k], px)
+            a_s = ((a_row >> (2 * x)) & 3).astype(I32)
+            a = a_g[0]
+            for k in range(1, 4):
+                a = jnp.where(a_s == k, a_g[k], a)
+            out_refs[y * 4 + x][...] = px | a
+
+
 @lru_cache(maxsize=None)
 def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: bool):
-    out_words = {"rgba": 16, "alpha": 16, "etc1": 2}[kind]
+    out_words = {"rgba": 16, "alpha": 16, "etc1": 2, "rgba_alpha": 16}[kind]
     rows = rows_for_kind(kind)
+    n_idx = 4 if kind == "rgba_alpha" else 2
 
     mods_np = _packed_mods_np()
 
     def kernel(*refs):
-        ep_tab, sel_tab, ep_idx_ref, sel_idx_ref, mods_ref = refs[:5]
-        out_refs = refs[5:]
-        ep_idx = ep_idx_ref[...]
-        sel_idx = sel_idx_ref[...]
+        ep_tab, sel_tab = refs[:2]
+        idx_refs = refs[2 : 2 + n_idx]
+        mods_ref = refs[2 + n_idx]
+        out_refs = refs[3 + n_idx :]
+        ep_idx = idx_refs[0][...]
+        sel_idx = idx_refs[1][...]
         provide = {bits.table_key(mods_np): mods_ref[...]}
         with bits.table_mode("provide", provide):
             if kind == "etc1":
@@ -154,6 +184,14 @@ def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: b
                     | (((inten << 5) | (inten << 2) | U32(0b11)) << 24)
                 ).astype(U32)
                 out_refs[1][...] = wire
+            elif kind == "rgba_alpha":
+                ep_words = gather_chunked(ep_tab[...], ep_idx)
+                sel_words = gather_chunked(sel_tab[...], sel_idx)
+                a_ep_words = gather_chunked(ep_tab[...], idx_refs[2][...])
+                a_sel_words = gather_chunked(sel_tab[...], idx_refs[3][...])
+                _rgba_alpha_kernel_body(
+                    ep_words, sel_words, a_ep_words, a_sel_words, out_refs
+                )
             else:
                 ep_words = gather_chunked(ep_tab[...], ep_idx)
                 sel_words = gather_chunked(sel_tab[...], sel_idx)
@@ -165,14 +203,15 @@ def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: b
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tab_spec, tab_spec, idx_spec, idx_spec, tab_spec],
+        in_specs=[tab_spec, tab_spec] + [idx_spec] * n_idx + [tab_spec],
         out_specs=[idx_spec] * out_words,
         out_shape=[jax.ShapeDtypeStruct((n_rows, LANE), jnp.uint32)] * out_words,
         interpret=interpret,
     )
 
 
-def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
+def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False,
+         extra_idx=()):
     n = len(ep_idx_np)
     tile = rows_for_kind(kind) * LANE
     n_pad = ((n + tile - 1) // tile) * tile
@@ -182,17 +221,18 @@ def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False):
     while p2 < n_pad:
         p2 *= 2
     n_pad = p2
-    ep_idx = np.zeros(n_pad, np.int32)
-    ep_idx[:n] = ep_idx_np
-    sel_idx = np.zeros(n_pad, np.int32)
-    sel_idx[:n] = sel_idx_np
+
+    def pad(a):
+        out = np.zeros(n_pad, np.int32)
+        out[:n] = a
+        return jnp.asarray(out.reshape(-1, LANE))
+
     call = _build(kind, ep_tab_np.shape[0], sel_tab_np.shape[0], n_pad // LANE, interpret)
     mods_np = _packed_mods_np()
     outs = call(
         jnp.asarray(ep_tab_np),
         jnp.asarray(sel_tab_np),
-        jnp.asarray(ep_idx.reshape(-1, LANE)),
-        jnp.asarray(sel_idx.reshape(-1, LANE)),
+        *[pad(a) for a in (ep_idx_np, sel_idx_np, *extra_idx)],
         jnp.asarray(bits.pad_table_for_kernel(mods_np)),
     )
     out = jnp.stack([o.reshape(n_pad) for o in outs], axis=-1)[:n]
@@ -212,6 +252,18 @@ def etc1s_alpha_pallas(endpoints_np, selectors_np, ep_idx, sel_idx, interpret=Fa
     return _run(
         "alpha", pack_endpoints_np(endpoints_np), pack_selectors_np(selectors_np),
         ep_idx, sel_idx, interpret,
+    )
+
+
+def etc1s_rgba_alpha_pallas(
+    endpoints_np, selectors_np, ep_idx, sel_idx, a_ep_idx, a_sel_idx, interpret=False
+):
+    """Fused RGB + alpha slice pair -> uint32 [N,16] final packed RGBA in ONE
+    launch (vs rgba + alpha kernels + a merge pass over two intermediates)."""
+    return _run(
+        "rgba_alpha", pack_endpoints_np(endpoints_np),
+        pack_selectors_np(selectors_np), ep_idx, sel_idx, interpret,
+        extra_idx=(a_ep_idx, a_sel_idx),
     )
 
 

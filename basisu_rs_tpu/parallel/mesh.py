@@ -159,16 +159,17 @@ def _sharded_etc1s_cached(
     kind: str, ep_chunks: int, sel_chunks: int, rows_per_shard: int,
     mesh: Mesh, backend: str, interpret: bool,
 ):
+    n_idx = 4 if kind == "rgba_alpha" else 2
     if backend == "pallas":
         from ..ops.etc1s_pallas import _build
 
         inner = _build(kind, ep_chunks, sel_chunks, rows_per_shard, interpret)
 
-        def step(ep_tab, sel_tab, ep_idx, sel_idx, mods):
-            outs = inner(ep_tab, sel_tab, ep_idx, sel_idx, mods)
+        def step(ep_tab, sel_tab, *rest):
+            outs = inner(ep_tab, sel_tab, *rest)
             return jnp.stack(outs, axis=-1)  # [rows, 128, W]
 
-        in_specs = (P(), P(), P(BLOCK_AXIS, None), P(BLOCK_AXIS, None), P())
+        in_specs = (P(), P()) + (P(BLOCK_AXIS, None),) * n_idx + (P(),)
         out_specs = P(BLOCK_AXIS, None, None)
     else:
         from ..ops.etc1s import (
@@ -197,7 +198,7 @@ def _sharded_etc1s_cached(
 
 def sharded_etc1s_transcode(
     kind: str, endpoints_np, selectors_np, ep_idx_np, sel_idx_np, mesh: Mesh,
-    backend: str | None = None, interpret: bool = False,
+    backend: str | None = None, interpret: bool = False, extra_idx=(),
 ):
     """Multi-chip ETC1S back-end: codebooks are replicated over the mesh
     (they are shared by every block of a file, container/basis.py), the
@@ -205,15 +206,29 @@ def sharded_etc1s_transcode(
     No collectives are required by the math - like the UASTC path this is
     purely data-parallel (mod.rs:97-186 per-block closures).
 
-    kind: 'rgba' (packed texels), 'alpha' (G-channel bytes), or 'etc1'
-    (block lanes).  endpoints_np: uint8 [E,4]; selectors_np: uint8 [S,4]
-    row bytes.  Returns uint32 [N, W] (W = 16/16/2).
+    kind: 'rgba' (packed texels), 'alpha' (G-channel bytes), 'etc1'
+    (block lanes), or 'rgba_alpha' (fused RGB+alpha slice pair; pass the
+    alpha slice's index streams as extra_idx=(a_ep_idx, a_sel_idx)).
+    endpoints_np: uint8 [E,4]; selectors_np: uint8 [S,4] row bytes.
+    Returns uint32 [N, W] (W = 16/16/2/16).
     """
     backend = backend or mesh_backend(mesh)
     n_dev = mesh.devices.size
     n = len(ep_idx_np)
-    out_words = {"rgba": 16, "alpha": 16, "etc1": 2}[kind]
+    out_words = {"rgba": 16, "alpha": 16, "etc1": 2, "rgba_alpha": 16}[kind]
     repl = NamedSharding(mesh, P())
+    if backend != "pallas" and kind == "rgba_alpha":
+        # CPU meshes: compose the plain kernels (the fusion is a launch/HBM
+        # optimization specific to the Pallas path)
+        rgba = sharded_etc1s_transcode(
+            "rgba", endpoints_np, selectors_np, ep_idx_np, sel_idx_np, mesh,
+            backend, interpret,
+        )
+        a = sharded_etc1s_transcode(
+            "alpha", endpoints_np, selectors_np, *extra_idx, mesh, backend,
+            interpret,
+        )
+        return (rgba & np.uint32(0x00FFFFFF)) | (a << np.uint32(24))
 
     if kind == "etc1":
         from ..ops.etc1s import selector_wire_words_np
@@ -245,20 +260,21 @@ def sharded_etc1s_transcode(
         while per < -(-n // n_dev):
             per *= 2
         n_pad = per * n_dev
-        ep_idx = np.zeros(n_pad, np.int32)
-        ep_idx[:n] = ep_idx_np
-        sel_idx = np.zeros(n_pad, np.int32)
-        sel_idx[:n] = sel_idx_np
+        sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
+
+        def pad(a):
+            out = np.zeros(n_pad, np.int32)
+            out[:n] = a
+            return jax.device_put(jnp.asarray(out.reshape(-1, LANE)), sharding)
+
         call = _sharded_etc1s_cached(
             kind, ep_tab.shape[0], sel_tab.shape[0], per // LANE, mesh,
             backend, interpret,
         )
-        sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
         out = call(
             jax.device_put(jnp.asarray(ep_tab), repl),
             jax.device_put(jnp.asarray(sel_tab), repl),
-            jax.device_put(jnp.asarray(ep_idx.reshape(-1, LANE)), sharding),
-            jax.device_put(jnp.asarray(sel_idx.reshape(-1, LANE)), sharding),
+            *[pad(a) for a in (ep_idx_np, sel_idx_np, *extra_idx)],
             jax.device_put(jnp.asarray(bits.pad_table_for_kernel(_packed_mods_np())), repl),
         )
         return np.asarray(out).reshape(n_pad, out_words)[:n]

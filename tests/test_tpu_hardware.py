@@ -119,6 +119,22 @@ def test_etc1s_kernels_on_tpu():
     )
     np.testing.assert_array_equal(got1, ref1)
 
+    from basisu_rs_tpu.ops.etc1s_pallas import etc1s_rgba_alpha_pallas
+
+    a_ep = rng.integers(0, e, n).astype(np.int32)
+    a_sel = rng.integers(0, s, n).astype(np.int32)
+    got2 = np.asarray(
+        etc1s_rgba_alpha_pallas(endpoints, selectors, ep_idx, sel_idx, a_ep, a_sel)
+    )[:n]
+    a = np.asarray(
+        _jitted("alpha")(
+            jnp.asarray(endpoints), jnp.asarray(selectors),
+            jnp.asarray(a_ep), jnp.asarray(a_sel),
+        )
+    )
+    ref2 = (ref & np.uint32(0x00FFFFFF)) | (a << np.uint32(24))
+    np.testing.assert_array_equal(got2, ref2)
+
 
 @requires_tpu
 def test_sharded_mode_step_on_tpu(golden):
