@@ -80,7 +80,11 @@ def cmd_transcode(args) -> int:
     if getattr(args, "mesh", 0) and args.target != "uastc":
         from .parallel.mesh import make_mesh
 
-        kwargs["mesh"] = make_mesh(args.mesh)
+        try:
+            kwargs["mesh"] = make_mesh(args.mesh)
+        except ValueError as e:
+            print(f"--mesh {args.mesh}: {e}", file=sys.stderr)
+            return 2
     result = readers[args.target](buf, **kwargs)
     images = result[1] if args.target == "rgba" else result
     outdir = Path(args.output)

@@ -285,6 +285,14 @@ def _run_etc1s_rgba(endpoints, selectors, ep_idx, sel_idx, alpha_pass, mesh):
     return sharded_etc1s_transcode("rgba", endpoints, selectors, ep_idx, sel_idx, mesh)
 
 
+def _run_etc1s_etc1(endpoints, selectors, ep_idx, sel_idx, mesh):
+    if mesh is None:
+        return run_etc1s_etc1(endpoints, selectors, ep_idx, sel_idx)
+    from ..parallel.mesh import sharded_etc1s_transcode
+
+    return sharded_etc1s_transcode("etc1", endpoints, selectors, ep_idx, sel_idx, mesh)
+
+
 def read_to_rgba(buf: bytes, mesh=None):
     """-> (Header, [Image]) of RGBA bytes (reference: basis.rs:8-90).
 
@@ -425,24 +433,13 @@ def read_to_etc1(buf: bytes, mesh=None) -> list[Image]:
         ep_parts.append(s.endpoint_index)
         sel_parts.append(s.selector_index)
     if descs:
-        if mesh is None:
-            out = run_etc1s_etc1(
-                dec.endpoints,
-                dec.selectors,
-                np.concatenate(ep_parts),
-                np.concatenate(sel_parts),
-            )
-        else:
-            from ..parallel.mesh import sharded_etc1s_transcode
-
-            out = sharded_etc1s_transcode(
-                "etc1",
-                dec.endpoints,
-                dec.selectors,
-                np.concatenate(ep_parts),
-                np.concatenate(sel_parts),
-                mesh,
-            )
+        out = _run_etc1s_etc1(
+            dec.endpoints,
+            dec.selectors,
+            np.concatenate(ep_parts),
+            np.concatenate(sel_parts),
+            mesh,
+        )
         ofs = 0
         for desc in descs:
             n = desc.num_blocks_x * desc.num_blocks_y

@@ -47,6 +47,21 @@ def rows_for_kind(kind: str) -> int:
 
 I32 = jnp.int32
 
+# kernel-kind shape signatures, shared with parallel/mesh.py
+OUT_WORDS = {"rgba": 16, "alpha": 16, "etc1": 2, "rgba_alpha": 16}
+N_IDX = {"rgba": 2, "alpha": 2, "etc1": 2, "rgba_alpha": 4}
+
+
+def bucket_rows(n: int, kind: str) -> int:
+    """Rows of the padded [rows, 128] index layout for an n-block stream:
+    whole tiles, pow2-bucketed so varied slice sizes hit a bounded set of
+    kernel shapes (one Mosaic compile per bucket)."""
+    tile = rows_for_kind(kind) * LANE
+    p2 = tile
+    while p2 < n:
+        p2 *= 2
+    return p2 // LANE
+
 
 def _pad_chunks(word: np.ndarray) -> np.ndarray:
     """Pad a packed 1-D table to a power-of-two number of 128-lane chunks so
@@ -157,9 +172,9 @@ def _rgba_alpha_kernel_body(ep_words, sel_words, a_ep_words, a_sel_words, out_re
 
 @lru_cache(maxsize=None)
 def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: bool):
-    out_words = {"rgba": 16, "alpha": 16, "etc1": 2, "rgba_alpha": 16}[kind]
+    out_words = OUT_WORDS[kind]
     rows = rows_for_kind(kind)
-    n_idx = 4 if kind == "rgba_alpha" else 2
+    n_idx = N_IDX[kind]
 
     mods_np = _packed_mods_np()
 
@@ -213,14 +228,7 @@ def _build(kind: str, ep_chunks: int, sel_chunks: int, n_rows: int, interpret: b
 def _run(kind, ep_tab_np, sel_tab_np, ep_idx_np, sel_idx_np, interpret=False,
          extra_idx=()):
     n = len(ep_idx_np)
-    tile = rows_for_kind(kind) * LANE
-    n_pad = ((n + tile - 1) // tile) * tile
-    # bucket the padded length to a power of two: per-mip slice sizes vary,
-    # and each distinct shape would otherwise be a fresh Mosaic compile
-    p2 = tile
-    while p2 < n_pad:
-        p2 *= 2
-    n_pad = p2
+    n_pad = bucket_rows(n, kind) * LANE
 
     def pad(a):
         out = np.zeros(n_pad, np.int32)

@@ -159,7 +159,9 @@ def _sharded_etc1s_cached(
     kind: str, ep_chunks: int, sel_chunks: int, rows_per_shard: int,
     mesh: Mesh, backend: str, interpret: bool,
 ):
-    n_idx = 4 if kind == "rgba_alpha" else 2
+    from ..ops.etc1s_pallas import N_IDX
+
+    n_idx = N_IDX[kind]
     if backend == "pallas":
         from ..ops.etc1s_pallas import _build
 
@@ -212,10 +214,12 @@ def sharded_etc1s_transcode(
     endpoints_np: uint8 [E,4]; selectors_np: uint8 [S,4] row bytes.
     Returns uint32 [N, W] (W = 16/16/2/16).
     """
+    from ..ops.etc1s_pallas import OUT_WORDS
+
     backend = backend or mesh_backend(mesh)
     n_dev = mesh.devices.size
     n = len(ep_idx_np)
-    out_words = {"rgba": 16, "alpha": 16, "etc1": 2, "rgba_alpha": 16}[kind]
+    out_words = OUT_WORDS[kind]
     repl = NamedSharding(mesh, P())
     if backend != "pallas" and kind == "rgba_alpha":
         # CPU meshes: compose the plain kernels (the fusion is a launch/HBM
@@ -241,10 +245,10 @@ def sharded_etc1s_transcode(
         from ..ops.etc1s_pallas import (
             LANE,
             _packed_mods_np,
+            bucket_rows,
             pack_endpoints_np,
             pack_selectors_np,
             pack_wire_np,
-            rows_for_kind,
         )
         from ..ops import bits
 
@@ -253,12 +257,10 @@ def sharded_etc1s_transcode(
             pack_wire_np(sel_natural) if kind == "etc1"
             else pack_selectors_np(selectors_np)
         )
-        # per-shard length: pow2 bucket of whole tiles (mirrors _run's
-        # host-side bucketing so shard shapes hit the same compile cache)
-        tile = rows_for_kind(kind) * LANE
-        per = tile
-        while per < -(-n // n_dev):
-            per *= 2
+        # per-shard length: the same pow2-of-whole-tiles bucketing as the
+        # single-chip path (etc1s_pallas.bucket_rows), so per-shard shapes
+        # hit the same compile cache
+        per = bucket_rows(-(-n // n_dev), kind) * LANE
         n_pad = per * n_dev
         sharding = NamedSharding(mesh, P(BLOCK_AXIS, None))
 
