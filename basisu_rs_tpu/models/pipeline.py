@@ -50,9 +50,11 @@ class BasisCorpusPipeline:
     kernels on device.  Files that fail validation are reported, not fatal.
     """
 
-    def __init__(self, target: str, workers: int = 4, backend: str | None = None):
+    def __init__(self, target: str, workers: int = 4, backend: str | None = None,
+                 mesh=None):
         self.target = target
         self.workers = workers
+        self.mesh = mesh  # optional jax.sharding.Mesh for multi-chip runs
         self.transcoder = UastcTranscoder(target, backend) if target != "_parse_only" else None
         self.profiler = Profiler()
 
@@ -94,7 +96,10 @@ class BasisCorpusPipeline:
                     # read_to_* spans host container parse + (for ETC1S) the
                     # entropy front-end + device kernels; label it honestly.
                     with self.profiler.stage("file/transcode"):
-                        result = reader(buf)
+                        if self.mesh is not None and self.target != "uastc":
+                            result = reader(buf, mesh=self.mesh)
+                        else:
+                            result = reader(buf)
                     images = result[1] if self.target == "rgba" else result
                     texels = sum(int(i.w) * int(i.h) for i in images)
                     state.mark(path)

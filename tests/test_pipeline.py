@@ -76,3 +76,17 @@ def test_pipeline_bc7_matches_direct(tmp_path, golden):
     (res,) = list(pipe.run([p]))
     expected, _ = transcode_blocks(golden["bc7_in"][:24], "bc7")
     np.testing.assert_array_equal(res.images[0].data.reshape(-1, 16), expected)
+
+
+def test_pipeline_mesh_matches_plain(tmp_path, golden):
+    """mesh= on the pipeline shards per-file device work, bit-exactly."""
+    from basisu_rs_tpu.parallel.mesh import make_mesh
+
+    paths = _make_corpus(tmp_path, golden)[:3]
+    plain = {r.path: r for r in BasisCorpusPipeline("rgba", workers=2).run(paths)}
+    meshed = BasisCorpusPipeline("rgba", workers=2, mesh=make_mesh(8))
+    results = list(meshed.run(paths))
+    assert len(results) == len(plain) == 3
+    for r in results:
+        for a, b in zip(r.images, plain[r.path].images):
+            np.testing.assert_array_equal(a.data, b.data)
