@@ -2,7 +2,8 @@
 """Re-derive the per-target Pallas grid tiles (ops/pallas_kernels.ROWS_BY_TARGET)
 on the attached hardware.
 
-Sweeps row-tile candidates over a representative mode subset per target using
+Sweeps row-tile candidates over a representative mode subset per target (and
+the ETC1S kernel kinds, cached as etc1s_<kind>) using
 bench.py's contention-robust chained-loop timing, prints a per-(target, mode)
 table plus the per-target winner by aggregate time.  Run on new hardware (or
 after major kernel changes) and update ROWS_BY_TARGET if the winners move:
@@ -41,12 +42,20 @@ PROBE_MODES = {
     "etc2": (0, 9, 14, 18),
 }
 
+# ETC1S kernel kinds (ops/etc1s_pallas.ROWS_BY_KIND); cached under the
+# "etc1s_<kind>" keys that rows_for_kind consults
+ETC1S_KINDS = ("rgba", "alpha", "etc1", "rgba_alpha")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", default="16,32", help="comma-separated candidates")
     ap.add_argument("--n", type=int, default=1 << 21, help="batch size in blocks")
-    ap.add_argument("--targets", default=",".join(PROBE_MODES))
+    ap.add_argument(
+        "--targets",
+        default=",".join(PROBE_MODES) + ","
+        + ",".join(f"etc1s_{k}" for k in ETC1S_KINDS),
+    )
     ap.add_argument(
         "--write", action="store_true",
         help="persist the winning tiles to .jax_cache/tiles_<device-kind>.json "
@@ -87,8 +96,62 @@ def main() -> int:
         per = bench._measure_chained(chained, xp)
         return n_pad / per
 
+    def rate_etc1s(kind, rows, e=2048, s=2048):
+        import jax.numpy as jnp
+        from functools import partial
+
+        import basisu_rs_tpu.ops.etc1s_pallas as EP
+        from basisu_rs_tpu.ops import bits
+        from basisu_rs_tpu.ops.etc1s import selector_wire_words_np
+
+        EP.ROWS_BY_KIND = {**EP.ROWS_BY_KIND, kind: rows}
+        EP._build.cache_clear()
+        rng = np.random.default_rng(5)
+        endpoints = np.zeros((e, 4), np.uint8)
+        endpoints[:, :3] = rng.integers(0, 32, (e, 3))
+        endpoints[:, 3] = rng.integers(0, 8, e)
+        selectors = rng.integers(0, 256, (s, 4)).astype(np.uint8)
+        ep_tab = jnp.asarray(EP.pack_endpoints_np(endpoints))
+        tab = jnp.asarray(
+            EP.pack_wire_np(selector_wire_words_np(selectors)) if kind == "etc1"
+            else EP.pack_selectors_np(selectors)
+        )
+        mods = jnp.asarray(bits.pad_table_for_kernel(EP._packed_mods_np()))
+        tile = rows * EP.LANE
+        n_pad = ((args.n + tile - 1) // tile) * tile
+        n_idx = EP.N_IDX[kind]
+        idxs = [
+            jnp.asarray(np.resize(rng.integers(0, e, args.n).astype(np.int32), n_pad)
+                        .reshape(-1, EP.LANE))
+            for _ in range(n_idx)
+        ]
+        call = EP._build(kind, ep_tab.shape[0], tab.shape[0], n_pad // EP.LANE, False)
+
+        @partial(jax.jit, static_argnums=1)
+        def chained(x, reps):
+            def body(i, c):
+                outs = call(ep_tab, tab, x ^ (c & 1023), *idxs[1:], mods)
+                return outs[0][0, 0].astype(jnp.int32)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
+
+        per = bench._measure_chained(lambda x, reps: chained(x, reps), idxs[0])
+        return n_pad / per
+
     winners = {}
     for target in args.targets.split(","):
+        if target.startswith("etc1s_"):
+            kind = target[len("etc1s_"):]
+            line = [f"{target}:"]
+            best_r, best = None, 0.0
+            for rows in candidates:
+                r = rate_etc1s(kind, rows)
+                line.append(f"rows {rows}: {r/1e6:7.1f} Mblk/s")
+                if r > best:
+                    best_r, best = rows, r
+            winners[target] = best_r
+            print("  ".join(line) + f"  ==> {best_r}", flush=True)
+            continue
         # Weight each mode's seconds-per-block by its block count in the probe
         # batch, so the aggregate reflects the corpus mode mix rather than
         # over-weighting rare modes.
