@@ -77,3 +77,27 @@ def test_per_mode_random_blocks_match_oracle(mode_id, target):
     keep = 0xFF & ~((1 << min(code_size, 8)) - 1)
     blocks[:, 0] = (blocks[:, 0] & keep) | (code & 0xFF)
     _check_against_oracle(blocks, target)
+
+
+@pytest.mark.parametrize("target", ["rgba", "bc7"])
+def test_all_modes_fn_matches_partitioned_fuzz(target):
+    """The single-graph all-modes path (jit entries / sharded step /
+    tiny batches) agrees with the partitioned per-mode path - and hence the
+    oracle - on random blocks including invalid ones."""
+    import jax.numpy as jnp
+
+    from basisu_rs_tpu.ops.bits import bytes_from_lanes_np, lanes_from_bytes_np
+    from basisu_rs_tpu.ops.dispatch import transcode_all_modes_fn
+
+    rng = np.random.default_rng(0xA11)
+    blocks = rng.integers(0, 256, size=(512, 16), dtype=np.uint8)
+    ref_out, ref_err = transcode_blocks(blocks, target)
+
+    out, err = transcode_all_modes_fn(target)(jnp.asarray(lanes_from_bytes_np(blocks, 4)))
+    out, err = np.asarray(out), np.asarray(err)
+    np.testing.assert_array_equal(err, ref_err)
+    ok = ~ref_err
+    if target == "rgba":
+        np.testing.assert_array_equal(out[ok], ref_out[ok])
+    else:
+        np.testing.assert_array_equal(bytes_from_lanes_np(out)[ok], ref_out[ok])
