@@ -35,7 +35,10 @@ ROWS = 8  # legacy default; see rows_for_kind
 # Measured per-kind grid tiles (v5e sweep over 8/16/32): the RGBA kernels
 # prefer 32-row tiles (37.9 -> 67.8 Gtex/s vs the old 8), the tiny ETC1
 # repack peaks at 16 (80.6 -> 104.6).  8-row tiles are uniformly worst.
-ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16, "rgba_alpha": 32}
+# rgba_alpha = 64: the fused pair kernel amortizes grid overhead over twice
+# the gathers; back-to-back sweep 16/32/64 gave 41.5/41.9/45.0 Gtex/s
+# (128 compiles pathologically - not a candidate)
+ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16, "rgba_alpha": 64}
 
 
 def rows_for_kind(kind: str) -> int:
