@@ -58,3 +58,24 @@ def test_fuzz_xla_vs_pallas_interpret(target):
         op, ep = pallas_mode_kernel(target, int(mode_id), rows=8, interpret=True)(gl)
         np.testing.assert_array_equal(np.asarray(ox), np.asarray(op))
         np.testing.assert_array_equal(np.asarray(ex), np.asarray(ep))
+
+
+def test_etc1s_kernels_trace():
+    """Every ETC1S Pallas kernel kind (incl. the fused rgba_alpha pair)
+    builds and traces abstractly at its shipped tile."""
+    from basisu_rs_tpu.ops.etc1s_pallas import (
+        LANE,
+        N_IDX,
+        OUT_WORDS,
+        _build,
+        rows_for_kind,
+    )
+
+    for kind in OUT_WORDS:
+        rows = rows_for_kind(kind)
+        call = _build(kind, 2, 2, rows, True)
+        tab = jax.ShapeDtypeStruct((2, LANE), jnp.uint32)
+        idx = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+        mods = jax.ShapeDtypeStruct((1, LANE), jnp.int32)
+        outs = jax.eval_shape(call, tab, tab, *[idx] * N_IDX[kind], mods)
+        assert len(outs) == OUT_WORDS[kind], kind
