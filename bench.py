@@ -369,6 +369,87 @@ def bench_corpus(n_files: int = 8, nbx: int = 64, nby: int = 64) -> None:
                 log(f"    {line}")
 
 
+def _probe_device(timeout_s: float) -> bool:
+    """True iff the TPU tunnel answers a trivial op within timeout_s.
+
+    Runs in a SUBPROCESS: when the tunnel goes dark (CLAUDE.md: 20-60+ min
+    stretches where even jnp.arange(8).sum() hangs), an in-process probe
+    would hang this interpreter unrecoverably; a child can be killed."""
+    import subprocess
+
+    code = "import jax; print(int(jax.numpy.arange(8).sum()))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        return r.returncode == 0 and r.stdout.strip() == "28"
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def supervise() -> int:
+    """Availability gate + supervised bench run (the round-3 lesson:
+    BENCH_r03.json was rc=1/parsed-null because bench.py died on first
+    backend touch while the tunnel was dark).
+
+    Loop: probe the tunnel (subprocess + timeout); when it answers, run the
+    real bench as a child under a hard timeout (a mid-run dark stretch is
+    recoverable - compiles are already in .jax_cache so retries are cheap);
+    relay the child's stdout verbatim on success.  On budget exhaustion emit
+    a single parseable JSON line with an "error" field, never a traceback."""
+    import subprocess
+
+    budget_s = float(os.environ.get("BENCH_TUNNEL_BUDGET_S", 2700))
+    probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 120))
+    run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT_S", 2700))
+    deadline = time.monotonic() + budget_s
+    env = dict(os.environ, BENCH_CHILD="1")
+    attempts, backoff = 0, 60.0
+    last_err = "tunnel probe never succeeded"
+    while True:
+        attempts += 1
+        if _probe_device(probe_timeout):
+            log(f"[bench supervisor] probe ok (attempt {attempts}); running bench")
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__], timeout=run_timeout,
+                    capture_output=True, text=True, env=env,
+                )
+            except subprocess.TimeoutExpired as e:
+                last_err = f"bench child timed out after {run_timeout:.0f}s (tunnel went dark mid-run?)"
+                log(f"[bench supervisor] {last_err}")
+                if e.stderr:
+                    log(e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr)
+            else:
+                sys.stderr.write(r.stderr)
+                if r.returncode == 0 and '"metric"' in r.stdout:
+                    sys.stdout.write(r.stdout)
+                    return 0
+                last_err = f"bench child rc={r.returncode}: {r.stderr.strip().splitlines()[-1] if r.stderr.strip() else 'no stderr'}"
+                log(f"[bench supervisor] {last_err}")
+        else:
+            log(f"[bench supervisor] probe attempt {attempts} failed/hung (tunnel dark)")
+        if time.monotonic() + backoff > deadline:
+            break
+        log(f"[bench supervisor] retrying in {backoff:.0f}s "
+            f"({deadline - time.monotonic():.0f}s of budget left)")
+        time.sleep(backoff)
+        backoff = min(backoff * 1.5, 300.0)
+    print(
+        json.dumps(
+            {
+                "metric": "UASTC->BC7 aggregate transcode throughput (device-resident, all-mode corpus mix)",
+                "value": None,
+                "unit": "Mtexels/s",
+                "vs_baseline": None,
+                "error": f"TPU unavailable after {attempts} attempts over {budget_s:.0f}s: {last_err}",
+            }
+        )
+    )
+    return 1
+
+
 def main() -> None:
     n_chips = len(jax.devices())
     log(f"devices: {[str(d) for d in jax.devices()]}, N={N_BLOCKS} blocks")
@@ -424,4 +505,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD") or os.environ.get("BENCH_NO_SUPERVISOR"):
+        main()
+    else:
+        sys.exit(supervise())
