@@ -18,6 +18,7 @@ Two sharded paths:
 
 from __future__ import annotations
 
+import warnings
 from functools import lru_cache, partial
 
 import jax
@@ -35,15 +36,38 @@ from ..ops.dispatch import (
 BLOCK_AXIS = "blocks"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
+def make_mesh(n_devices: int | None = None, *, allow_cpu_fallback: bool = False) -> Mesh:
+    """A 1-D block-axis mesh over the first n_devices default-backend devices
+    (all of them if None).
+
+    When the default backend has fewer than n_devices, this RAISES rather
+    than silently running on virtual CPU devices — a CPU mesh is orders of
+    magnitude slower than the chips the caller asked for.  Dry runs that
+    really want the xla_force_host_platform_device_count CPU mesh opt in
+    with allow_cpu_fallback=True, which still warns loudly."""
     devices = jax.devices()
     if n_devices is not None and len(devices) < n_devices:
-        # Not enough chips on the default backend: fall back to the virtual
-        # CPU mesh (xla_force_host_platform_device_count) for dry runs.
-        devices = jax.devices("cpu")
+        if not allow_cpu_fallback:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but the default backend "
+                f"('{devices[0].platform}') has {len(devices)} device(s); for a "
+                "sharding dry run on virtual CPU devices pass "
+                "allow_cpu_fallback=True"
+            )
+        cpu = jax.devices("cpu")
+        if len(cpu) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)} on the default "
+                f"backend and {len(cpu)} cpu"
+            )
+        warnings.warn(
+            f"make_mesh: default backend ('{devices[0].platform}') has only "
+            f"{len(devices)} device(s); falling back to {n_devices} virtual CPU "
+            "devices (dry-run performance, not chip performance)",
+            stacklevel=2,
+        )
+        devices = cpu
     if n_devices is not None:
-        if len(devices) < n_devices:
-            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (BLOCK_AXIS,))
 

@@ -51,3 +51,13 @@ def test_cli_transcode_mesh(tmp_path, golden):
 
     expected, _ = transcode_blocks(golden["bc7_in"][:24], "bc7")
     np.testing.assert_array_equal(data, expected)
+
+
+def test_cli_transcode_mesh_too_large_errors(tmp_path, golden, capsys):
+    """--mesh N beyond the attached device count must error out, never
+    silently transcode on virtual CPU devices."""
+    f = _make_file(tmp_path, golden)
+    rc = main(["transcode", str(f), "--target", "bc7", "--mesh", "999", "-o", str(tmp_path)])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "--mesh 999" in err and "999-device mesh" in err

@@ -172,3 +172,29 @@ def test_sharded_etc1s_pallas_interpret_composes():
         )
     )
     np.testing.assert_array_equal(got, expected)
+
+
+def test_make_mesh_refuses_silent_cpu_fallback(monkeypatch):
+    """make_mesh must never silently downgrade to virtual CPU devices when
+    the default backend is short of chips: raise unless the caller opts in
+    with allow_cpu_fallback=True, and warn loudly even then."""
+    import basisu_rs_tpu.parallel.mesh as mesh_mod
+
+    real_devices = jax.devices
+    cpu = real_devices("cpu")
+
+    def fake(platform=None):
+        # Simulate a 1-chip default backend next to the 8-device CPU host.
+        return real_devices("cpu") if platform else cpu[:1]
+
+    monkeypatch.setattr(mesh_mod.jax, "devices", fake)
+    with pytest.raises(ValueError, match="allow_cpu_fallback"):
+        make_mesh(8)
+    with pytest.warns(UserWarning, match="virtual CPU"):
+        m = make_mesh(8, allow_cpu_fallback=True)
+    assert m.devices.size == 8
+
+
+def test_make_mesh_raises_when_no_backend_has_enough_devices():
+    with pytest.raises(ValueError):
+        make_mesh(64, allow_cpu_fallback=True)
