@@ -53,6 +53,8 @@ def _load() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.etc1s_calib.restype = ctypes.c_uint64
+    lib.etc1s_calib.argtypes = [ctypes.c_uint64]
     return lib
 
 
@@ -89,6 +91,13 @@ def _check(rc: int) -> None:
 def crc16_native(data, crc: int = 0) -> int:
     buf = bytes(data)
     return int(_LIB.basisu_crc16(buf, len(buf), crc))
+
+
+def calib_native(iters: int) -> int:
+    """Fixed decode-profile integer workload (GIL held briefly by ctypes, the
+    loop itself is pure C): the machine-speed denominator for the
+    contention-aware front-end perf guard."""
+    return int(_LIB.etc1s_calib(iters))
 
 
 def decode_endpoints_native(num_endpoints: int, data: bytes) -> np.ndarray:

@@ -473,6 +473,31 @@ void* etc1s_create(const uint8_t* tables, size_t len, int num_endpoints,
   return d;
 }
 
+// Fixed synthetic workload with a decode-like profile (L1 table walk,
+// data-dependent branch, bit extraction): the timing denominator of the
+// contention-aware front-end perf guard (tests/test_thread_scaling.py).
+// Pure function of `iters`; returns a checksum so -O3 cannot elide it.
+uint64_t etc1s_calib(uint64_t iters) {
+  uint32_t tab[256];
+  uint32_t x = 0x9E3779B9u;
+  for (int i = 0; i < 256; ++i) {
+    x ^= x << 13; x ^= x >> 17; x ^= x << 5;
+    tab[i] = x;
+  }
+  uint64_t acc = 0;
+  uint32_t pos = 0;
+  for (uint64_t i = 0; i < iters; ++i) {
+    x ^= x << 13; x ^= x >> 17; x ^= x << 5;
+    uint32_t e = tab[(x ^ pos) & 255];
+    if (e & 1)
+      pos += (e >> 1) & 15;
+    else
+      pos ^= e >> 24;
+    acc += e & 0xFFFF;
+  }
+  return acc ^ pos;
+}
+
 void etc1s_destroy(void* h) { delete static_cast<Decoder*>(h); }
 
 uint32_t etc1s_history_size(void* h) {

@@ -474,6 +474,16 @@ def main() -> None:
             hr = bench_etc1s_host()
             log(f"ETC1S host front-end: {hr/1e6:.1f} Mblocks/s/core")
             extra["etc1s_host_mblocks_s_core"] = round(hr / 1e6, 1)
+            from bench_etc1s_host import aggregate_rate
+
+            workers = os.cpu_count() or 1
+            hrt = aggregate_rate(workers)
+            log(
+                f"ETC1S host front-end aggregate ({workers} worker(s) = machine "
+                f"core count): {hrt/1e6:.1f} Mblocks/s total"
+            )
+            extra["etc1s_host_mblocks_s_total"] = round(hrt / 1e6, 1)
+            extra["etc1s_host_workers"] = workers
         except ImportError:
             pass  # toolchain-less environment: no native front-end
         srate = bench_target_sharded("bc7", blocks)

@@ -106,6 +106,52 @@ def test_native_decode_single_core_floor(slice_setup):
     assert rate > floor, f"native decode_slice at {rate:.1f} Mblk/s/core (floor {floor})"
 
 
+def test_native_decode_contention_aware_ratio_guard(slice_setup):
+    """Contention-aware perf guard (round-3 verdict: the absolute 35 Mblk/s
+    floor has a 3x cushion a real 2x regression would sail through).
+
+    Metric: decode rate vs a fixed decode-profile C calibration loop
+    (native.calib_native - L1 table walk, data-dependent branch, bit mixing)
+    timed interleaved best-of-8 with MATCHED region lengths (~0.4 ms each:
+    short regions slot between preemptions, so best-of-N finds an
+    uninterrupted window for both sides even on a fully contended core;
+    mismatched lengths were measured to skew the ratio 2x).  Machine speed
+    divides out.  Measured band on the 1-vCPU builder host: 0.68-0.75 quiet
+    AND under a spinning competitor process.
+
+    The asserted operating band [0.45, 0.90) makes the guard's regression
+    response structural: any measured ratio in the band halves to below the
+    0.45 floor, so a genuine 2x slowdown of the decode loop trips the guard
+    under ANY contention level rather than hiding inside a noisy absolute
+    floor."""
+    models, nbx, nby, data = slice_setup
+    from basisu_rs_tpu.native import calib_native
+
+    n = nbx * nby
+    CAL = 50_000  # ~0.35 ms: same region length as one slice decode
+    models.decode_slice(nbx, nby, data)
+    calib_native(CAL)
+    best_c = best_k = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        models.decode_slice(nbx, nby, data)
+        best_c = min(best_c, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        calib_native(CAL)
+        best_k = min(best_k, time.perf_counter() - t0)
+
+    ratio = (n / best_c) / (CAL / best_k)
+    assert ratio > 0.45, (
+        f"decode/calib ratio {ratio:.3f} below floor 0.45 (quiet baseline "
+        f"~0.70): the native front-end regressed algorithmically"
+    )
+    assert ratio < 0.90, (
+        f"decode/calib ratio {ratio:.3f} above the calibrated band: "
+        f"re-pin the band (or the calib loop regressed) so that a 2x decode "
+        f"regression still lands below the 0.45 floor"
+    )
+
+
 @pytest.mark.skipif((os.cpu_count() or 1) < 4, reason="needs >= 4 cores")
 def test_native_decode_scales_across_threads(slice_setup):
     models, nbx, nby, data = slice_setup

@@ -45,10 +45,56 @@ def make_slice(nbx: int, nby: int, e: int = 512, s: int = 384, hist: int = 32,
     return models, desc.data(buf), exp_ep, exp_sel
 
 
+def aggregate_rate(workers: int, n_blocks: int = 1 << 18, tasks_per_worker: int = 4):
+    """Aggregate front-end Mblocks/s with `workers` threads decoding
+    independent slices concurrently (the cores x slices axis: the BasisLZ
+    state machine is serial WITHIN a slice, so host scale comes from slices
+    across GIL-released cores — basis_lz/mod.rs:188-458 is the serial
+    contract).  Each worker owns its own slice payload; the codebook handle
+    is shared (read-only during decode_slice, native/etc1s.cpp)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    nbx = 512
+    nby = max(1, n_blocks // nbx)
+    n = nbx * nby
+    models, data, exp_ep, _ = make_slice(nbx, nby)
+    ep, _ = models.decode_slice(nbx, nby, data)
+    np.testing.assert_array_equal(ep, exp_ep)
+
+    n_tasks = workers * tasks_per_worker
+
+    def task(_):
+        models.decode_slice(nbx, nby, data)
+
+    with ThreadPoolExecutor(workers) as pool:
+        list(pool.map(task, range(workers)))  # warm all threads
+        t0 = time.perf_counter()
+        list(pool.map(task, range(n_tasks)))
+        dt = time.perf_counter() - t0
+    return n_tasks * n / dt
+
+
+def scaling_curve(max_workers: int, n_blocks: int = 1 << 18):
+    """[(workers, aggregate Mblk/s)] for 1,2,4,... up to max_workers."""
+    points = []
+    w = 1
+    while w <= max_workers:
+        points.append((w, aggregate_rate(w, n_blocks)))
+        w *= 2
+    if points[-1][0] != max_workers:
+        points.append((max_workers, aggregate_rate(max_workers, n_blocks)))
+    return points
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=1 << 20)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument(
+        "--workers", type=int, default=0,
+        help="also measure the many-worker aggregate scaling curve up to N "
+        "threads (0 = skip; use e.g. the machine core count)",
+    )
     args = ap.parse_args()
 
     nbx = 1024
@@ -67,6 +113,15 @@ def main() -> int:
         models.decode_slice(nbx, nby, data)
         best = min(best, time.perf_counter() - t0)
     print(f"{n} blocks, best of {args.reps}: {n / best / 1e6:.1f} Mblk/s/core")
+
+    if args.workers:
+        base = None
+        for w, rate in scaling_curve(args.workers, min(args.blocks, 1 << 18)):
+            base = base or rate
+            print(
+                f"  {w:3d} worker(s): {rate / 1e6:7.1f} Mblk/s aggregate "
+                f"({rate / base / w * 100:5.1f}% of linear)"
+            )
     return 0
 
 
