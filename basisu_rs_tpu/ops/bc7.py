@@ -283,7 +283,7 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
         pat_packed = _take(fam.bc7_pat_packed, f.pat)
         subs7 = [(pat_packed >> (2 * i)) & 3 for i in range(16)]
         anch_packed = _take(fam.bc7_anchors_packed, f.pat)
-        bc7_anchor_vals = [jnp.zeros(shape, I32)] + [
+        bc7_anchor_vals = [None] + [  # subset 0's anchor is texel 0 (unused)
             (anch_packed >> (4 * k)) & 15 for k in range(1, nsub7)
         ]
         perm_packed = _take(fam.perm_packed, f.pat)
@@ -313,13 +313,18 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                     dst[j][c] = v
 
         # swap endpoints + invert weights where the anchor MSB is set
-        # (bc7.rs:171-195).  Subset 0's anchor is always texel 0
-        # (bc7_anchor_vals[0] == 0): read it directly, no 15-way select.
-        inv = [((w[0][0] >> (wb7 - 1)) & 1).astype(bool)] + [
+        # (bc7.rs:171-195).  Subset 0 is statically exempt: its BC7 anchor is
+        # texel 0 (BC7 partition tables put texel 0 in subset 0), which is
+        # also the UASTC anchor of its own subset and therefore decoded with
+        # wb-1 bits (uastc.rs:727-740) - and no weight remap maps a
+        # (wb-1)-bit value onto the BC7 MSB (checked per remap in
+        # test_tables), so the reference's test at bc7.rs:178 is always
+        # false for j == 0.
+        inv = [None] + [
             ((_dyn_select(w[0], bc7_anchor_vals[s]) >> (wb7 - 1)) & 1).astype(bool)
             for s in range(1, nsub7)
         ]
-        for j in range(nsub7):
+        for j in range(1, nsub7):
             for c in range(4):
                 lo, hi = e_lo[j][c], e_hi[j][c]
                 if lo is hi:
@@ -328,29 +333,29 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 e_hi[j][c] = jnp.where(inv[j], lo, hi)
         # invert = conditional bit-flip: w ^ (inv * wmask) beats the
         # compare/not/select chain, and the subset masks hoist per texel
-        inv_masks = [inv[s].astype(I32) * wmask7 for s in range(nsub7)]
+        inv_masks = [None] + [inv[s].astype(I32) * wmask7 for s in range(1, nsub7)]
         for i in range(16):
             s_i = subs7[i]
-            m = inv_masks[0]
-            for s in range(1, nsub7):
-                m = jnp.where(s_i == s, inv_masks[s], m)
+            if nsub7 == 2:
+                # subs7 values are 0/1: the mask select is one multiply
+                m = inv_masks[1] * s_i
+            else:
+                m = jnp.where(s_i == 1, inv_masks[1], 0)
+                for s in range(2, nsub7):
+                    m = jnp.where(s_i == s, inv_masks[s], m)
             w[0][i] = w[0][i] ^ m
     else:
+        # Single-subset: the anchor-MSB endpoint swap + weight inversion
+        # (bc7.rs:171-246) is statically DEAD on every plane: the anchor is
+        # texel 0, decoded with wb-1 bits (uastc.rs:727-740; both planes of a
+        # dual-plane anchor lose a bit), and no weight remap maps a
+        # (wb-1)-bit value onto the BC7 MSB (checked per remap in
+        # test_tables::test_bc7_anchor_msb_statically_zero), so the
+        # reference's inversion test is always false here.
         for c in range(4):
             e_lo[0][c] = pairs[0][0][c]
             e_hi[0][c] = pairs[0][1][c]
-        if cfg.plane_count == 1:
-            invb = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
-            for c in range(4):
-                lo, hi = e_lo[0][c], e_hi[0][c]
-                if lo is hi:
-                    continue  # constant channel: swap is the identity
-                e_lo[0][c] = jnp.where(invb, hi, lo)
-                e_hi[0][c] = jnp.where(invb, lo, hi)
-            invm = invb.astype(I32) * wmask7  # conditional bit-flip mask
-            for i in range(16):
-                w[0][i] = w[0][i] ^ invm
-        else:
+        if cfg.plane_count == 2:
             # channel rotation: swap compsel channel with alpha (bc7.rs:216-219);
             # one hoisted compare set shared by the lo/hi rotations
             cs = f.compsel
@@ -363,20 +368,6 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 for c in range(1, 3):
                     a = jnp.where(cs_m[c], old[c], a)
                 dst[3] = a
-            inv0 = ((w[0][0] >> (wb7 - 1)) & 1).astype(bool)
-            inv1 = ((w[1][0] >> (wb7 - 1)) & 1).astype(bool)
-            for c in range(4):
-                lo, hi = e_lo[0][c], e_hi[0][c]
-                e_lo[0][c] = jnp.where(inv0, hi, lo)
-                e_hi[0][c] = jnp.where(inv0, lo, hi)
-            xa, ya = e_lo[0][3], e_hi[0][3]
-            diff = inv0 != inv1
-            e_lo[0][3] = jnp.where(diff, ya, xa)
-            e_hi[0][3] = jnp.where(diff, xa, ya)
-            for plane, invp in ((0, inv0), (1, inv1)):
-                invm = invp.astype(I32) * wmask7
-                for i in range(16):
-                    w[plane][i] = w[plane][i] ^ invm
             writer.put(((cs + 1) & 3).astype(U32), ofs, 2)
             ofs += 2
             if bm.id == 4:
@@ -437,22 +428,30 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 writer.put(plane_w[i], ofs, bits_i)
                 ofs += bits_i
     else:
-        from ..tables import fam_bc7_anchors_before, fam_bc7_anchors_before_packed
+        from ..tables import fam_bc7_anchors_before, fam_bc7_weight_preshift_packed
 
         # Each texel's weight lands inside a STATIC window
         # [ofs + wb7*i - maxab_i, ofs + wb7*i + wb7): pre-shift the value by
-        # (maxab_i - ab_i) and emit with one static put.  The shifted value's
-        # zero bits outside its true range OR harmlessly into neighbors.
+        # (maxab_i - ab_i) - gathered directly as a packed table, saving the
+        # per-texel subtraction - and emit with one static put.  Weights are
+        # already < 2^wb7 (every remap's range is checked in test_tables and
+        # the inversion xor preserves the width), so no mask; the shifted
+        # value's zero bits outside its true range OR harmlessly into
+        # neighbors.  Texels whose anchors-before count is constant across
+        # the family's patterns (the first few and trailing columns) emit at
+        # a fully static position.
         ab_tab = fam_bc7_anchors_before(fam.name)  # [count, 16] numpy
-        ab_packed = _take(fam_bc7_anchors_before_packed(fam.name), f.pat)
+        ps_packed = None
         for i in range(16):
-            maxab = int(ab_tab[:, i].max())
-            if maxab == 0:
-                writer.put(w[0][i], ofs + wb7 * i, wb7)
+            col = ab_tab[:, i]
+            maxab = int(col.max())
+            if maxab == int(col.min()):
+                writer.put(w[0][i], ofs + wb7 * i - maxab, wb7)
             else:
-                ab = ((ab_packed >> (2 * i)) & 3).astype(U32)
-                val = (w[0][i].astype(U32) & U32(mask(wb7))) << (U32(maxab) - ab)
-                writer.put(val, ofs + wb7 * i - maxab, wb7 + maxab)
+                if ps_packed is None:
+                    ps_packed = _take(fam_bc7_weight_preshift_packed(fam.name), f.pat)
+                ps = ((ps_packed >> (2 * i)) & 3).astype(U32)
+                writer.put(w[0][i].astype(U32) << ps, ofs + wb7 * i - maxab, wb7 + maxab)
         ofs += 16 * wb7 - nsub7
 
     return writer.lanes, f.err

@@ -299,7 +299,10 @@ def fl_div255(x):
     tests/test_tpu_hardware.py)."""
     from jax import lax
 
-    y0 = (x.astype(jnp.float32) * jnp.float32(257.0)) * jnp.float32(2.0**-16)
+    # one multiply: 257*2^-16 is exactly representable (1.00000001b * 2^-8)
+    # and x*257 <= 65535 < 2^24, so fl(x * fl(257*2^-16)) == x*257*2^-16
+    # exactly - same y0 as the two-step (x*257)*2^-16 form
+    y0 = x.astype(jnp.float32) * jnp.float32(257.0 * 2.0**-16)
     c = y0 * jnp.float32(_DIV255_K)
     if _TABLE_MODE is None or _TABLE_MODE[0] == "collect":
         c = lax.optimization_barrier(c)

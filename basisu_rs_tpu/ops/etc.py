@@ -50,8 +50,15 @@ def etc1_palette(base_rgb, inten):
     w = lut_lookup(packed, inten)
     small = w & 255
     big = w >> 8
-    deltas = (-big, -small, small, big)
-    return [[jnp.clip(base_rgb[c] + deltas[k], 0, 255) for c in range(3)] for k in range(4)]
+    # one-SIDED clamps: base is 0..255 and the modifier sign is static per
+    # level, so subtracting can only undershoot 0 and adding can only
+    # overshoot 255 - max/min instead of a two-op clip
+    return [
+        [jnp.maximum(base_rgb[c] - big, 0) for c in range(3)],
+        [jnp.maximum(base_rgb[c] - small, 0) for c in range(3)],
+        [jnp.minimum(base_rgb[c] + small, 255) for c in range(3)],
+        [jnp.minimum(base_rgb[c] + big, 255) for c in range(3)],
+    ]
 
 
 def selector_ms_ls(sel):
@@ -202,11 +209,22 @@ def write_etc2_alpha_block(etc2tm, texels):
     vl = jnp.zeros(shape, U32)
     for i in range(16):
         a = alphas[i]
-        r = (a >= T[0]).astype(I32)
-        for k in range(1, 7):
-            r = r + (a >= T[k])
-        best_j = jnp.where(r < 4, 3 - r, r)
-        best_j = jnp.where(mult0 | (dup34 & (r <= 4)), 0, best_j).astype(U32)
+        # rank r = #{k: a >= T[k]} by 3-level branchless binary search over
+        # the sorted thresholds (the >= indicator is monotone in k, so the
+        # search is duplicate-safe): 3 compares + 4 threshold selects replace
+        # the 7-compare/6-add counting form.  r = 4*b2 + 2*b1 + b0; the
+        # rank->candidate map (r<4 ? 3-r : r) becomes where(b2, 4+u, 3-u)
+        # with u = 2*b1 + b0, and r<=4 becomes !b2 | u==0.  Exhaustive
+        # equivalence with the reference's min_by_key in test_tables.
+        b2 = a >= T[3]
+        b1 = a >= jnp.where(b2, T[5], T[1])
+        t0 = jnp.where(b2, jnp.where(b1, T[6], T[4]), jnp.where(b1, T[2], T[0]))
+        b0 = a >= t0
+        u = (b1.astype(I32) << 1) | b0.astype(I32)
+        v = 4 + u
+        best_j = jnp.where(b2, v, 7 - v)
+        zero = mult0 | (dup34 & (~b2 | (u == 0)))
+        best_j = jnp.where(zero, 0, best_j).astype(U32)
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x

@@ -113,9 +113,13 @@ def _palette(ep_word):
     w = bits.lut_lookup(_packed_mods_np(), inten)
     small = w & 255
     big = w >> 8
+    # one-sided clamps: base is 0..255 and the modifier sign is static per
+    # level (see ops/etc.etc1_palette)
     return [
-        [jnp.clip(base[c] + d, 0, 255) for c in range(3)]
-        for d in (-big, -small, small, big)
+        [jnp.maximum(base[c] - big, 0) for c in range(3)],
+        [jnp.maximum(base[c] - small, 0) for c in range(3)],
+        [jnp.minimum(base[c] + small, 255) for c in range(3)],
+        [jnp.minimum(base[c] + big, 255) for c in range(3)],
     ]
 
 

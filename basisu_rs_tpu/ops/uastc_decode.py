@@ -118,21 +118,35 @@ def unquant_endpoint(trit_quint, bits, range_index: int):
     (tools/ab_unquant.py)."""
     rng = BISE_RANGES[range_index]
     if rng.trits == 0 and rng.quints == 0 and rng.bits > 0:
-        val = jnp.zeros_like(bits)
+        if rng.bits == 8:
+            return bits  # the 8-bit range replicates to itself
+        # bit replication; every term is < 256 (first term is
+        # bits << (8 - width) with bits < 2^width), so no final mask
         sh = 8 - rng.bits
+        val = bits << sh
+        sh -= rng.bits
         while sh > -rng.bits:
             val = val | (bits << sh if sh >= 0 else bits >> -sh)
             sh -= rng.bits
-        return val & 0xFF
+        return val
     from ..tables.bise import unquant_lut
 
     lut = unquant_lut(range_index)
     if len(lut) <= 128:
         return lut_lookup(lut, (trit_quint << rng.bits) | bits)
     a = (bits & 1) * 511
-    b = jnp.zeros_like(bits)
+    # scatter bits of `bits` into b, pairs grouped by displacement
+    # (out_bit - in_bit): one shift+and per group instead of 3 ops per pair
+    # (the B-patterns replicate runs of bits, so 5-6 pairs collapse to 2-3
+    # groups for every large range)
+    groups: dict[int, int] = {}
     for out_bit, in_bit in rng.scatter_pairs:
-        b = b | (((bits >> in_bit) & 1) << out_bit)
+        d = out_bit - in_bit
+        groups[d] = groups.get(d, 0) | (1 << out_bit)
+    b = None
+    for d, m in groups.items():
+        t = ((bits << d) if d >= 0 else (bits >> -d)) & m
+        b = t if b is None else (b | t)
     val = (trit_quint * rng.deq_c + b) ^ a
     return (a & 0x80) | (val >> 2)
 
@@ -209,21 +223,34 @@ def decode_weights(cfg: ModeCfg, lanes, pat):
         ab_tab = fam_anchors_before(fam.name)  # [count, 16] numpy
         ab_packed = lut_lookup(fam_anchors_before_packed(fam.name), pat)
         n_anch = fam.anchors.shape[1]
+        # Per-position anchors-before counts: extracted ONCE each and shared
+        # with the next texel's is-anchor delta (the old code re-extracted
+        # ab[i+1] per texel; Mosaic does not CSE), and folded to Python ints
+        # where the column is constant across the family's patterns - always
+        # for i <= 1 (texel 0 is every pattern's first-subset anchor) and for
+        # the tail columns once all anchors have passed.
+        abs_: list = []
         for i in range(16):
-            ab = (ab_packed >> (2 * i)) & 3
-            # is-anchor derived from consecutive anchors-before counts -
-            # avoids a separate anchor-mask gather.
-            if i < 15:
-                ia = ((ab_packed >> (2 * i + 2)) & 3) - ab
+            lo, hi = int(ab_tab[:, i].min()), int(ab_tab[:, i].max())
+            abs_.append(lo if lo == hi else (ab_packed >> (2 * i)) & 3)
+        abs_.append(n_anch)
+        for i in range(16):
+            ab, maxab = abs_[i], int(ab_tab[:, i].max())
+            ia = abs_[i + 1] - ab  # is-anchor: consecutive counts differ by 1
+            if isinstance(ia, int):
+                wmask = mask(wb) >> ia
             else:
-                ia = n_anch - ab
-            wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
-            maxab = int(ab_tab[:, i].max())
-            if maxab == 0:
-                raw = extract(lanes, base + wb * i, wb).astype(I32)
+                wmask = (U32(mask(wb)) >> ia.astype(U32)).astype(I32)
+            if isinstance(ab, int):
+                # constant anchors-before: fully static offset
+                raw = extract(lanes, base + wb * i - ab, wb).astype(I32)
             else:
+                # texel bits live in the static window
+                # [base + wb*i - maxab, base + wb*i + wb); wmask clears
+                # everything at/above bit wb - ia, subsuming the old
+                # explicit mask(wb) AND
                 win = extract(lanes, base + wb * i - maxab, wb + maxab)
-                raw = ((win >> (U32(maxab) - ab.astype(U32))) & U32(mask(wb))).astype(I32)
+                raw = (win >> (U32(maxab) - ab.astype(U32))).astype(I32)
             weights.append(raw & wmask)
         return weights, anchors
 

@@ -265,6 +265,21 @@ def fam_bc7_anchors_before_packed(fam_name: str) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def fam_bc7_weight_preshift_packed(fam_name: str) -> np.ndarray:
+    """uint32 [count]: per-texel BC7 weight-emission pre-shift
+    (max-anchors-before-over-patterns minus anchors-before), packed 2 bits
+    per texel - the shift that places a weight inside its static emission
+    window directly, saving the per-texel subtraction."""
+    ab = fam_bc7_anchors_before(fam_name)
+    ps = ab.max(axis=0, keepdims=True) - ab
+    assert (ps <= 3).all() and (ps >= 0).all()
+    packed = np.zeros(ab.shape[0], np.uint32)
+    for t in range(16):
+        packed |= ps[:, t].astype(np.uint32) << (2 * t)
+    return packed
+
+
+@lru_cache(maxsize=None)
 def etc_bias_deltas() -> np.ndarray:
     """[32 bias, 2 subblock, 3 channel] int8 ETC1 bias nudges
     (reference: src/target_formats/etc.rs:203-234)."""

@@ -247,6 +247,23 @@ def test_eac_rank_selector_matches_packed_min():
             got = np.where((mult == 0) | ((W[3] == W[4]) & (r <= 4)), 0, got)
             np.testing.assert_array_equal(got, ref_j, err_msg=f"table {t} mult {mult}")
 
+            # the shipped binary-search form (ops/etc.write_etc2_alpha_block):
+            # pre-halved thresholds, 3-level search, where(b2, 4+u, 7-(4+u))
+            S = [W[k - 1] + W[k] for k in range(1, 8)]
+            T = [(S[k] + 1) >> 1 for k in (0, 1, 2)] + [
+                (S[k] + 2) >> 1 for k in (3, 4, 5, 6)
+            ]
+            b2 = a >= T[3]
+            b1 = a >= np.where(b2, T[5], T[1])
+            t0 = np.where(b2, np.where(b1, T[6], T[4]), np.where(b1, T[2], T[0]))
+            b0 = a >= t0
+            u = (b1.astype(np.int64) << 1) | b0
+            v = 4 + u
+            bs = np.where(b2, v, 7 - v)
+            zero = (mult == 0) | ((W[3] == W[4]) & (~b2 | (u == 0)))
+            bs = np.where(zero, 0, bs)
+            np.testing.assert_array_equal(bs, ref_j, err_msg=f"bsearch table {t} mult {mult}")
+
 
 def test_astc_interpolate_factored_form():
     """Exhaustive proof for ops/uastc_decode.astc_interpolate: for all
@@ -288,3 +305,49 @@ def test_unquant_weight_wb4_correction_closed_form():
     for w in range(16):
         q = w >> 2
         assert (w >= 4) + 2 * (w >= 8) + (w >= 12) == q + (q >> 1)
+
+
+def test_bc7_anchor_msb_statically_zero():
+    """Proof backing ops/bc7.py's dead-code elimination of the anchor-MSB
+    endpoint swap: an anchor texel's weight is decoded with wb-1 bits
+    (uastc.rs:727-740), and for every (uastc_wb -> bc7_wb) remap used by any
+    mode, no (wb-1)-bit input maps to a value with the BC7 MSB set - so the
+    reference's inversion test (bc7.rs:178,190-195,228-235) is always false
+    for subset 0 (whose anchor is texel 0) and for both planes of
+    single-subset modes."""
+    import numpy as np
+
+    from basisu_rs_tpu.ops.bc7 import remap_weight_to_bc7
+    from basisu_rs_tpu.tables import BC7_MODES, MODES, np_tables
+
+    t = np_tables()
+    pairs = set()
+    for cfg in MODES:
+        if cfg.id == 8:
+            continue
+        bm = BC7_MODES[int(t["UASTC_TO_BC7_MODES"][cfg.id])]
+        pairs.add((cfg.weight_bits, bm.weight_bits))
+    assert pairs  # at least one mode mapping exists
+    for uwb, bwb in sorted(pairs):
+        anchor_max = (1 << (uwb - 1)) - 1  # anchors store uwb-1 bits
+        w = np.arange(anchor_max + 1)
+        out = remap_weight_to_bc7(w, uwb, bwb)
+        assert (out >= 0).all() and (out < (1 << (bwb - 1))).all(), (uwb, bwb, out)
+
+
+def test_bc7_weight_remap_range():
+    """Every remap output fits in bc7 weight_bits for every full-width input
+    (backs the mask-free weight emission in ops/bc7.py)."""
+    import numpy as np
+
+    from basisu_rs_tpu.ops.bc7 import remap_weight_to_bc7
+    from basisu_rs_tpu.tables import BC7_MODES, MODES, np_tables
+
+    t = np_tables()
+    for cfg in MODES:
+        if cfg.id == 8:
+            continue
+        bm = BC7_MODES[int(t["UASTC_TO_BC7_MODES"][cfg.id])]
+        w = np.arange(1 << cfg.weight_bits)
+        out = remap_weight_to_bc7(w, cfg.weight_bits, bm.weight_bits)
+        assert (out >= 0).all() and (out < (1 << bm.weight_bits)).all(), cfg.id
