@@ -130,3 +130,77 @@ def test_cli_transcode_ktx2(tmp_path):
     assert [f.name for f in files] == ["tex_0.bc7.ktx2", "tex_1.bc7.ktx2"]
     hdr, _, _ = _parse(files[0].read_bytes())
     assert hdr[0] == 145 and hdr[7] == 2  # BC7, two mip levels
+
+
+def test_ktx2_round_trips_through_independent_reader():
+    """Round-trip every target's mip chain through tests/ktx2_reader.py - an
+    independent spec-first parser with strict structural validation (level
+    alignment/coverage/no-overlap, DFD sample layout, KVD entries) - and
+    compare payloads byte-for-byte (round-3 verdict stretch item 9)."""
+    from basisu_rs_tpu import (
+        read_to_astc,
+        read_to_bc7,
+        read_to_etc1,
+        read_to_etc2,
+        read_to_rgba,
+    )
+    from tests.ktx2_reader import read_ktx2
+
+    buf = _basis_with_mips()
+    for target, reader in (
+        ("bc7", read_to_bc7),
+        ("astc", read_to_astc),
+        ("etc1", read_to_etc1),
+        ("etc2", read_to_etc2),
+        ("rgba", read_to_rgba),
+    ):
+        images = reader(buf)
+        if target == "rgba":
+            images = images[1]
+        chain = images[:2]  # 8x8 + 4x4
+        parsed = read_ktx2(write_ktx2(chain, target))
+        assert (parsed.width, parsed.height) == (chain[0].w, chain[0].h)
+        assert len(parsed.levels) == 2
+        assert parsed.kvd["KTXwriter"].rstrip(b"\x00") == b"basisu_rs_tpu"
+        for lvl, img in enumerate(chain):
+            if target == "rgba":
+                data = np.asarray(img.data, np.uint8)
+                expect = b"".join(
+                    data[y * img.stride : y * img.stride + 4 * img.w].tobytes()
+                    for y in range(img.h)
+                )
+            else:
+                expect = np.asarray(img.data, np.uint8).tobytes()
+            assert parsed.levels[lvl] == expect, (target, lvl)
+
+
+def test_ktx2_reader_rejects_corruption():
+    """The independent reader's validation actually bites: flip structural
+    fields and expect rejection."""
+    from basisu_rs_tpu import read_to_bc7
+    from tests.ktx2_reader import read_ktx2
+
+    images = read_to_bc7(_basis_with_mips())
+    blob = bytearray(write_ktx2(images[:2], "bc7"))
+    read_ktx2(bytes(blob))  # sanity: intact file parses
+
+    bad = blob.copy()
+    bad[0] ^= 1  # identifier
+    with pytest.raises(ValueError, match="identifier"):
+        read_ktx2(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 12 + 32, 1)  # supercompressionScheme
+    with pytest.raises(ValueError, match="supercompression"):
+        read_ktx2(bytes(bad))
+
+    bad = blob.copy()
+    # corrupt level 0's byteLength in the level index
+    ofs0, len0, ulen0 = struct.unpack_from("<3Q", bad, 48 + 32)
+    struct.pack_into("<3Q", bad, 48 + 32, ofs0, len0 - 16, ulen0 - 16)
+    with pytest.raises(ValueError, match="expected"):
+        read_ktx2(bytes(bad))
+
+    bad = blob + b"\x00" * 8  # trailing garbage
+    with pytest.raises(ValueError, match="trailing"):
+        read_ktx2(bytes(bad))
