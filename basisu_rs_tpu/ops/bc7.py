@@ -33,14 +33,6 @@ from .uastc_decode import (
 I32 = jnp.int32
 
 
-def _dyn_select(arrays, idx):
-    """arrays: list of [N] tensors; idx: int32[N] -> arrays[idx] elementwise."""
-    out = arrays[0]
-    for k in range(1, len(arrays)):
-        out = jnp.where(idx == k, arrays[k], out)
-    return out
-
-
 def _take(table_np, idx):
     return lut_lookup(table_np, idx)
 
@@ -95,17 +87,22 @@ def _xq_pair(total_bits: int, e):
     (int31-safe), so the whole search is a handful of ALU ops with no table
     lookups - gathers are the expensive op on the VPU."""
     iscalep = mask(total_bits)
-    n0 = e * iscalep + 255
-    q0 = (((n0 >> 1) * 32897) >> 23).astype(I32)
-    q1 = ((((n0 - 255) >> 1) * 32897) >> 23).astype(I32)
+    m = e * iscalep  # shared by both candidates: n0 = m + 255, n1 = m
+    q0 = ((((m + 255) >> 1) * 32897) >> 23).astype(I32)
+    q1 = (((m >> 1) * 32897) >> 23).astype(I32)
     x0 = jnp.minimum(2 * q0, iscalep - 1)
     x1 = jnp.minimum(2 * q1 + 1, iscalep)
     return x0, x1
 
 
-def _scaled(total_bits: int, x):
+def _scaled(total_bits: int, x, xmax: int = 256):
+    """Bit-replicate x to 8 bits.  xmax: static exclusive bound on x - the
+    u8-wrap AND is only live when x << (8 - total_bits) can reach 256
+    (the p=1 candidate tops out at iscalep + 1; p=0 at iscalep - 1)."""
     if total_bits < 8:
-        s0 = (x << (8 - total_bits)) & 0xFF
+        s0 = x << (8 - total_bits)
+        if (xmax - 1) << (8 - total_bits) > 0xFF:
+            s0 = s0 & 0xFF
         return s0 | (s0 >> total_bits)
     return x  # u8 wrapping_shr(8) is a no-op (bc7.rs:522)
 
@@ -131,9 +128,9 @@ def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     for p in (0, 1):
         el = eh = 0
         for c in range(total_comps):
-            a = _scaled(tb, x_lo[c][p]) - e_lo[c]
+            a = _scaled(tb, x_lo[c][p], mask(tb) + 1) - e_lo[c]
             el = el + a * a
-            b = _scaled(tb, x_hi[c][p]) - e_hi[c]
+            b = _scaled(tb, x_hi[c][p], mask(tb) + 1) - e_hi[c]
             eh = eh + b * b
         errs[p] = (el, eh)
     pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
@@ -164,8 +161,8 @@ def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     for p in (0, 1):
         terms = []
         for c in range(total_comps):
-            bl = fl_div255(_scaled(tb, x_lo[c][p])) - fv_lo[c]
-            bh = fl_div255(_scaled(tb, x_hi[c][p])) - fv_hi[c]
+            bl = fl_div255(_scaled(tb, x_lo[c][p], mask(tb) + 1)) - fv_lo[c]
+            bh = fl_div255(_scaled(tb, x_hi[c][p], mask(tb) + 1)) - fv_hi[c]
             terms.append(bl * bl + bh * bh)
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
@@ -282,10 +279,6 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
         bc7_pat = _take(fam.bc7_index, f.pat)
         pat_packed = _take(fam.bc7_pat_packed, f.pat)
         subs7 = [(pat_packed >> (2 * i)) & 3 for i in range(16)]
-        anch_packed = _take(fam.bc7_anchors_packed, f.pat)
-        bc7_anchor_vals = [None] + [  # subset 0's anchor is texel 0 (unused)
-            (anch_packed >> (4 * k)) & 15 for k in range(1, nsub7)
-        ]
         perm_packed = _take(fam.perm_packed, f.pat)
 
         writer.put(bc7_pat, ofs, bm.pat_bits)
@@ -320,10 +313,28 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
         # (wb-1)-bit value onto the BC7 MSB (checked per remap in
         # test_tables), so the reference's test at bc7.rs:178 is always
         # false for j == 0.
-        inv = [None] + [
-            ((_dyn_select(w[0], bc7_anchor_vals[s]) >> (wb7 - 1)) & 1).astype(bool)
-            for s in range(1, nsub7)
-        ]
+        #
+        # For j >= 1 the driving bit is read STRAIGHT OUT OF THE LANES: the
+        # BC7 MSB equals the raw stored MSB for every remap
+        # (test_remap_preserves_msb), and its bit position is a per-pattern
+        # constant - one packed gather + a never-straddling 1-bit dynamic
+        # read replaces the 16-way dynamic select over the decoded weights.
+        from ..tables import fam_bc7_inv_relpos_packed
+        from .bits import extract_bit_dyn
+
+        relpos_np = fam_bc7_inv_relpos_packed(fam.name, cfg.weight_bits)
+        base_w = cfg.field_offsets["weights"]
+        inv_packed = _take(relpos_np, f.pat)
+        inv = [None]
+        for s in range(1, nsub7):
+            entry = (inv_packed >> (8 * (s - 1))) & 0xFF
+            rel_s = (relpos_np >> (8 * (s - 1))) & 63  # static bounds (numpy)
+            bit = extract_bit_dyn(
+                lanes,
+                (entry & 63) + base_w,
+                (base_w + int(rel_s.min()), base_w + int(rel_s.max()) + 1),
+            )
+            inv.append((bit & (entry >> 7).astype(U32)).astype(bool))
         for j in range(1, nsub7):
             for c in range(4):
                 lo, hi = e_lo[j][c], e_hi[j][c]
@@ -399,8 +410,9 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
             for c in range(3):
                 e_lo[j][c] = scale_ep(e_lo[j][c], bm.color_bits)
                 e_hi[j][c] = scale_ep(e_hi[j][c], bm.color_bits)
-            e_lo[j][3] = scale_ep(e_lo[j][3], bm.alpha_bits)
-            e_hi[j][3] = scale_ep(e_hi[j][3], bm.alpha_bits)
+            if cc == 4:  # alpha is never emitted when cc == 3
+                e_lo[j][3] = scale_ep(e_lo[j][3], bm.alpha_bits)
+                e_hi[j][3] = scale_ep(e_hi[j][3], bm.alpha_bits)
 
     # ---- endpoint emission (bc7.rs:276-286) ----
     for c in range(cc):

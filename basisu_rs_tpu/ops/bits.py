@@ -116,6 +116,20 @@ def extract_dyn(lanes, offset, count: int, bit_range=None):
     return val
 
 
+def extract_bit_dyn(lanes, offset, bit_range):
+    """Single dynamic bit as uint32 0/1.  A 1-bit read never straddles a
+    word, so the funnel half of extract_dyn drops away: word-select within
+    the static bit_range, one variable shift, one AND."""
+    wlo, whi = bit_range[0] // 32, (bit_range[1] - 1) // 32
+    offset = offset.astype(U32)
+    v = lane(lanes, wlo)
+    if whi > wlo:
+        w = offset >> U32(5)
+        for k in range(wlo + 1, whi + 1):
+            v = jnp.where(w == k, lane(lanes, k), v)
+    return (v >> (offset & U32(31))) & U32(1)
+
+
 class LaneWriter:
     """OR-accumulates bit fields into W uint32 output lanes.
 

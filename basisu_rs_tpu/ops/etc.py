@@ -194,8 +194,11 @@ def write_etc2_alpha_block(etc2tm, texels):
     order = (3, 2, 1, 0, 4, 5, 6, 7)
     W = [values[p] for p in order]
     S = [W[k - 1] + W[k] for k in range(1, 8)]
-    mult0 = mult == 0
-    dup34 = W[3] == W[4]
+    # duplicate-run fixup masks, hoisted per block: everything collapses to
+    # j = 0 when mult == 0 (all eight candidates equal), and ranks <= 4
+    # additionally collapse when W3 == W4 (center == 0 with modifier 0)
+    zm_hi = jnp.where(mult == 0, 0, 7)
+    zm_lo = jnp.where((mult == 0) | (W[3] == W[4]), 0, 7)
     # pre-halved thresholds fold the per-texel doubling (a2 = 2a) into the
     # per-block midpoints: 2a >= S  <=>  a >= (S+1)>>1,  2a > S  <=>
     # a >= (S+2)>>1 (S >= 0)
@@ -221,10 +224,12 @@ def write_etc2_alpha_block(etc2tm, texels):
         t0 = jnp.where(b2, jnp.where(b1, T[6], T[4]), jnp.where(b1, T[2], T[0]))
         b0 = a >= t0
         u = (b1.astype(I32) << 1) | b0.astype(I32)
-        v = 4 + u
-        best_j = jnp.where(b2, v, 7 - v)
-        zero = mult0 | (dup34 & (~b2 | (u == 0)))
-        best_j = jnp.where(zero, 0, best_j).astype(U32)
+        # rank->candidate map b2 ? 4 + u : 3 - u collapses to u ^ (3 + b2):
+        # 3 - u == u ^ 3 for u in 0..3, and 4 + u == u ^ 4
+        best_j = u ^ (3 + b2.astype(I32))
+        # duplicate-run fixup via the hoisted AND masks: rank > 4 is
+        # b2 & (u != 0); ranks <= 4 use zm_lo (which adds the W3 == W4 kill)
+        best_j = (best_j & jnp.where(b2 & (u != 0), zm_hi, zm_lo)).astype(U32)
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x
@@ -279,13 +284,20 @@ def _apply_etc1_bias(color, packed_deltas, limit, subblock: int):
     _packed_bias_deltas; limit: int32[N] (15/31)."""
     out = []
     for c in range(3):
-        delta = ((packed_deltas >> (2 * (3 * subblock + c))) & 3) - 2
+        field = (packed_deltas >> (2 * (3 * subblock + c))) & 3  # delta + 2
         v = color[c]
-        at_zero = jnp.where(delta == -2, v + 3, v + delta + 1)
-        at_limit = v + delta - 1
-        plain = v + delta
-        plain = jnp.where((plain < 0) | (plain > limit), v - delta, plain)
-        res = jnp.where(v == 0, at_zero, jnp.where(v == limit, at_limit, plain))
+        plain = v + field - 2
+        # v == 0 wrapping rule: delta + 1 except delta == -2 -> 3, which is
+        # exactly (delta + 1) & 3 = (field - 1) & 3 over delta in -2..1
+        at_zero = (field - 1) & 3
+        at_limit = plain - 1  # v + delta - 1
+        # The in-range branch is only selected for v in 1..limit-1, where
+        # plain <= limit always holds (delta <= 1, v <= limit-1) and
+        # plain < 0 only as plain == -1 (delta == -2, v == 1), where the
+        # reference's v - delta is v + 2 - the generic two-sided range check
+        # is statically dead on the high side.
+        checked = jnp.where(plain < 0, v + 2, plain)
+        res = jnp.where(v == 0, at_zero, jnp.where(v == limit, at_limit, checked))
         out.append(res)
     return out
 
@@ -344,7 +356,12 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
 
     # subblock channel sums via 2x2 quad partial sums (texels are raster
     # order: i = y*4 + x).  flip=1 subblocks are row pairs, flip=0 column
-    # pairs; both orientations share the quads.
+    # pairs; both orientations share the quads.  LA modes share ONE array
+    # object across r/g/b (uastc_to_rgba_channels), so the three channel
+    # sums are identical - compute once and alias (Mosaic does not CSE
+    # across the unrolled channel bodies).
+    gray = all(texels[i][0] is texels[i][1] is texels[i][2] for i in range(16))
+    nch = 1 if gray else 3
     avgs = []
     quads = []  # [qy][qx][c]
     for qy in range(2):
@@ -353,12 +370,12 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
             ids = [(2 * qy + dy) * 4 + 2 * qx + dx for dy in (0, 1) for dx in (0, 1)]
             row.append(
                 [texels[ids[0]][c] + texels[ids[1]][c] + texels[ids[2]][c] + texels[ids[3]][c]
-                 for c in range(3)]
+                 for c in range(nch)]
             )
         quads.append(row)
     for sb in range(2):
         avg = []
-        for c in range(3):
+        for c in range(nch):
             row_sum = quads[sb][0][c] + quads[sb][1][c]  # flip: row pair sb
             col_sum = quads[0][sb][c] + quads[1][sb][c]  # !flip: column pair sb
             ssum = jnp.where(fm, row_sum, col_sum)
@@ -366,7 +383,7 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
             # floor(n/2040) == (n*32897)>>26 exactly (int32-safe) - avoids
             # XLA's generic integer division sequence
             avg.append(((ssum * limit + 1020) * 32897) >> 26)
-        avgs.append(avg)
+        avgs.append(avg * 3 if gray else avg)
 
     if flags["etc1bias"] is not None:
         packed_deltas = _packed_bias_deltas(flags["etc1bias"])
@@ -398,10 +415,20 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
     )
 
     # selector re-derivation by luminance projection (etc.rs:160-196).
-    # Luminances are computed once per original texel and routed per
-    # position through a single flip select (instead of per-channel texel
-    # transposition).  Grayscale texels (LA modes share one object across
-    # r/g/b) collapse the dot to t * (108+366+38) = t << 9.
+    # Structural fact that removes all per-texel flip routing: in BOTH
+    # orientations, ORIGINAL texel u's wire bits land at pixel id
+    # transpose(u).  Flip iterates texels pos in raster order and calls
+    # set_selector(x, y) = transpose(pos) with u = pos; !flip reads the
+    # transposed texel u = transpose(pos) and writes set_selector(y, x) =
+    # pos = transpose(u).  So the WRITE position is static per texel, and
+    # the orientation only selects WHICH subblock's thresholds texel u
+    # compares against: its row pair u//8 under flip, its column pair
+    # (u%4)//2 otherwise.  Those agree on the diagonal quads and differ on
+    # the two off-diagonal quads, so the per-texel selects collapse to
+    # 2 quads x 3 thresholds once per block.
+    #
+    # Grayscale texels (LA modes share one object across r/g/b) collapse
+    # the dot to t * (108+366+38) = t << 9.
     lums_o = [
         texels[i][0] << 9
         if texels[i][0] is texels[i][1] and texels[i][1] is texels[i][2]
@@ -410,45 +437,40 @@ def _etc_rgb_lanes(cfg: ModeCfg, lanes, flags, texels):
         + texels[i][2] * LUM_FACTORS[2]
         for i in range(16)
     ]
+    # Palette luminances at HALF scale (factors 54/183/19; all full factors
+    # are even so halves are exact): the reference's threshold
+    # (lum_k + lum_{k+1}) >> 1 over even full-scale lums equals the plain
+    # half-scale sum, dropping the shift.  Texel lums stay full scale.
+    th_sb = []
+    for pal in (pal0, pal1):
+        lums = [
+            pal[k][0] * (LUM_FACTORS[0] // 2)
+            + pal[k][1] * (LUM_FACTORS[1] // 2)
+            + pal[k][2] * (LUM_FACTORS[2] // 2)
+            for k in range(4)
+        ]
+        th_sb.append((lums[0] + lums[1], lums[1] + lums[2], lums[2] + lums[3]))
+    # off-diagonal quads: thresholds selected once per quad, not per texel
+    th_quad = {
+        (0, 0): th_sb[0],
+        (1, 1): th_sb[1],
+        (0, 1): tuple(jnp.where(fm, th_sb[0][k], th_sb[1][k]) for k in range(3)),
+        (1, 0): tuple(jnp.where(fm, th_sb[1][k], th_sb[0][k]) for k in range(3)),
+    }
     lane1 = jnp.zeros(shape, U32)
-    for sb, pal in ((0, pal0), (1, pal1)):
-        lums = []
-        for k in range(4):
-            lums.append(
-                pal[k][0] * LUM_FACTORS[0]
-                + pal[k][1] * LUM_FACTORS[1]
-                + pal[k][2] * LUM_FACTORS[2]
-            )
-        # palette lums are non-negative (clipped 0..255): //2 is >>1
-        th01 = (lums[0] + lums[1]) >> 1
-        th12 = (lums[1] + lums[2]) >> 1
-        th23 = (lums[2] + lums[3]) >> 1
-        for i in range(8):
-            pos = sb * 8 + i
-            tr = (pos % 4) * 4 + pos // 4
-            lum = lums_o[pos] if pos == tr else jnp.where(fm, lums_o[pos], lums_o[tr])
-            # Palette lums are non-decreasing in k (modifier rows ascend, clip
-            # is monotone), so the threshold hits are nested: c1 >= c2 >= c3
-            # with sel = c1+c2+c3.  The wire bits collapse to boolean forms of
-            # the hits directly - ms = !c2, ls = c3 | !c1 (truth table =
-            # selector_ms_ls); the negated hits are computed by flipping the
-            # compare direction, not with `not` ops.
-            ms = lum < th12  # !c2
-            c3 = lum >= th23
-            ls = c3 | (lum < th01)  # c3 | !c1
-            x = i & 3
-            y = 2 * sb + (i >> 2)
-            pid_flip = x * 4 + y  # set_selector(x, y)
-            pid_nof = y * 4 + x  # set_selector(y, x)
-            if pid_flip == pid_nof:
-                contrib = selector_wire_bits_from(ms, ls, pid_flip)
-            else:
-                contrib = jnp.where(
-                    fm,
-                    selector_wire_bits_from(ms, ls, pid_flip),
-                    selector_wire_bits_from(ms, ls, pid_nof),
-                )
-            lane1 = lane1 | contrib
+    for u in range(16):
+        th01, th12, th23 = th_quad[(u // 8, (u % 4) // 2)]
+        lum = lums_o[u]
+        # Palette lums are non-decreasing in k (modifier rows ascend, clip
+        # is monotone), so the threshold hits are nested: c1 >= c2 >= c3
+        # with sel = c1+c2+c3.  The wire bits collapse to boolean forms of
+        # the hits directly - ms = !c2, ls = c3 | !c1 (truth table =
+        # selector_ms_ls); the negated hits are computed by flipping the
+        # compare direction, not with `not` ops.
+        ms = lum < th12  # !c2
+        c3 = lum >= th23
+        ls = c3 | (lum < th01)  # c3 | !c1
+        lane1 = lane1 | selector_wire_bits_from(ms, ls, (u % 4) * 4 + u // 4)
     return lane0, lane1
 
 

@@ -265,6 +265,37 @@ def fam_bc7_anchors_before_packed(fam_name: str) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def fam_bc7_inv_relpos_packed(fam_name: str, weight_bits: int) -> np.ndarray:
+    """uint32 [count]: per-pattern (rel_bitpos | valid<<7) bytes, one per BC7
+    subset k >= 1, locating the single stored weight bit that drives the
+    reference's anchor-MSB endpoint swap + weight inversion (bc7.rs:171-195).
+
+    rel_bitpos (relative to the mode's weight-section start) is the raw MSB
+    of BC7 anchor texel a's stored field: weight_bits*a - anchors_before(a)
+    + weight_bits - 1.  Every weight remap used by a multi-subset mode
+    preserves the MSB (w >= 2^(wb-1) <=> remap(w) >= 2^(wb7-1), pinned by
+    test_tables::test_remap_preserves_msb), so the raw stored bit IS the BC7
+    MSB - one dynamic 1-bit lane read replaces a 16-way dynamic select over
+    the decoded weights.  valid = 0 when the BC7 anchor coincides with a
+    UASTC anchor: its field is stored with one less bit, so its full-width
+    MSB is statically zero (the batch-proven anchor-MSB lemma) and the byte's
+    rel points at the next field's bit, which the valid mask discards."""
+    fam = _families()[fam_name]
+    ab = fam_anchors_before(fam_name)
+    nsub = {"2": 2, "3": 3, "23": 3, "m1": 2}[fam_name]
+    out = np.zeros(fam.count, np.uint32)
+    for p in range(fam.count):
+        uanch = {int(x) for x in fam.anchors[p]}
+        for k in range(1, nsub):
+            a = int(fam.bc7_anchors[p][k])
+            rel = weight_bits * a - int(ab[p, a]) + weight_bits - 1
+            assert 0 <= rel < 64
+            valid = 0 if a in uanch else 1
+            out[p] |= np.uint32(rel | (valid << 7)) << (8 * (k - 1))
+    return out
+
+
+@lru_cache(maxsize=None)
 def fam_bc7_weight_preshift_packed(fam_name: str) -> np.ndarray:
     """uint32 [count]: per-texel BC7 weight-emission pre-shift
     (max-anchors-before-over-patterns minus anchors-before), packed 2 bits

@@ -67,6 +67,21 @@ def test_extract_dyn_matches_static(count):
         np.testing.assert_array_equal(d, s)
 
 
+def test_extract_bit_dyn_matches_static():
+    """extract_bit_dyn == extract(., ., 1) for every offset, under every
+    bit_range that contains it (the range only prunes word selects)."""
+    from basisu_rs_tpu.ops.bits import extract_bit_dyn
+
+    ps = patterns()
+    lanes = jnp.asarray(np.concatenate([int_to_lanes(p) for p in ps], axis=0))
+    for offset in range(0, 128, 7):
+        s = np.asarray(extract(lanes, offset, 1))
+        for lo, hi in ((offset, offset + 1), (0, 128), (max(0, offset - 31), min(128, offset + 32))):
+            offs = jnp.full((len(ps),), offset, jnp.int32)
+            d = np.asarray(extract_bit_dyn(lanes, offs, (lo, hi)))
+            np.testing.assert_array_equal(d, s, err_msg=f"offset={offset} range=({lo},{hi})")
+
+
 def test_writer_static_and_dyn_agree_with_oracle():
     rng = np.random.default_rng(0)
     for _ in range(20):

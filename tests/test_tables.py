@@ -335,6 +335,62 @@ def test_bc7_anchor_msb_statically_zero():
         assert (out >= 0).all() and (out < (1 << (bwb - 1))).all(), (uwb, bwb, out)
 
 
+def test_remap_preserves_msb():
+    """Proof backing fam_bc7_inv_relpos_packed: every (uastc_wb -> bc7_wb)
+    weight remap used by any mode preserves the MSB - the raw stored top bit
+    of a full-width weight IS the post-remap BC7 MSB, so the anchor-driven
+    inversion bit (bc7.rs:171-195) can be read straight out of the lanes at
+    a per-pattern bit position."""
+    import numpy as np
+
+    from basisu_rs_tpu.ops.bc7 import remap_weight_to_bc7
+    from basisu_rs_tpu.tables import BC7_MODES, MODES, np_tables
+
+    t = np_tables()
+    pairs = set()
+    for cfg in MODES:
+        if cfg.id == 8:
+            continue
+        bm = BC7_MODES[int(t["UASTC_TO_BC7_MODES"][cfg.id])]
+        pairs.add((cfg.weight_bits, bm.weight_bits))
+    for uwb, bwb in sorted(pairs):
+        w = np.arange(1 << uwb)
+        out = remap_weight_to_bc7(w, uwb, bwb)
+        assert np.array_equal((w >> (uwb - 1)) & 1, (out >> (bwb - 1)) & 1), (uwb, bwb)
+
+
+def test_bc7_inv_relpos_matches_decoded_weights():
+    """The packed inv-bit position table locates exactly the decoded BC7
+    anchor texel's weight MSB for every (family, mode, pattern): cross-check
+    rel positions against the decode-layout arithmetic and the valid flag
+    against UASTC-anchor coincidence."""
+    import numpy as np
+
+    from basisu_rs_tpu.tables import (
+        MODES,
+        fam_anchors_before,
+        fam_bc7_inv_relpos_packed,
+        get_family,
+    )
+
+    for m in (1, 2, 3, 4, 7):
+        cfg = MODES[m]
+        fam = get_family(cfg)
+        wb = cfg.weight_bits
+        ab = fam_anchors_before(fam.name)
+        packed = fam_bc7_inv_relpos_packed(fam.name, wb)
+        nsub = fam.bc7_anchors.shape[1] if fam.bc7_anchors.ndim == 2 else 1
+        for p in range(fam.count):
+            uanch = {int(x) for x in fam.anchors[p]}
+            for k in range(1, {"2": 2, "3": 3, "23": 3, "m1": 2}[fam.name]):
+                entry = (int(packed[p]) >> (8 * (k - 1))) & 0xFF
+                a = int(fam.bc7_anchors[p][k])
+                # stored field of texel a starts at wb*a - anchors_before(a);
+                # its full-width MSB is wb-1 bits above that
+                assert entry & 63 == wb * a - int(ab[p, a]) + wb - 1
+                assert (entry >> 7) == (0 if a in uanch else 1)
+
+
 def test_bc7_weight_remap_range():
     """Every remap output fits in bc7 weight_bits for every full-width input
     (backs the mask-free weight emission in ops/bc7.py)."""
