@@ -4,6 +4,8 @@ from .pipeline import BasisCorpusPipeline, FileResult, PipelineState
 from .transcoder import (
     CorpusTranscoder,
     Etc1sCorpusTranscoder,
+    Etc1sFileWork,
+    Etc1sMultiCorpusTranscoder,
     TranscodeResult,
     UastcTranscoder,
 )
@@ -12,6 +14,8 @@ __all__ = [
     "BasisCorpusPipeline",
     "CorpusTranscoder",
     "Etc1sCorpusTranscoder",
+    "Etc1sFileWork",
+    "Etc1sMultiCorpusTranscoder",
     "FileResult",
     "PipelineState",
     "TranscodeResult",

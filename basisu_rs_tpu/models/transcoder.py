@@ -117,6 +117,108 @@ class CorpusTranscoder:
         return self.inner.profiler
 
 
+@dataclass
+class Etc1sFileWork:
+    """One .basis file's decoded ETC1S state, ready for cross-file batching:
+    its codebook pair plus per-slice index streams (and, for the RGBA
+    target, the optional paired alpha-slice streams)."""
+
+    endpoints: np.ndarray  # [E, 4] uint8
+    selectors: np.ndarray  # [S, 4] uint8 packed selector rows
+    slices: list  # [(ep_idx, sel_idx)] int arrays, one per slice
+    alpha_slices: list | None = None  # parallel list for RGBA alpha pairing
+
+
+def _batch_etc1s_files(files: list, with_alpha: bool):
+    """Concatenate many files' codebooks + index streams into ONE gather
+    space: file f's indices shift by its codebook base, so the palette
+    gather cannot tell the batch from a single huge file.  Returns
+    (endpoints, selectors, ep_idx, sel_idx, alpha_pair_or_None, counts)
+    with counts = per-(file, slice) block counts in input order."""
+    ep_books, sel_books = [], []
+    ep_base = sel_base = 0
+    eps, sels, a_eps, a_sels, counts = [], [], [], [], []
+    for fw in files:
+        e = np.asarray(fw.endpoints, np.uint8)
+        s = np.asarray(fw.selectors, np.uint8)
+        ep_books.append(e)
+        sel_books.append(s)
+        a_slices = fw.alpha_slices if with_alpha else [None] * len(fw.slices)
+        if with_alpha and (fw.alpha_slices is None or len(fw.alpha_slices) != len(fw.slices)):
+            raise BasisError("alpha_slices must pair 1:1 with slices")
+        for (ep_i, sel_i), a in zip(fw.slices, a_slices):
+            ep_i = np.asarray(ep_i, np.int32)
+            sel_i = np.asarray(sel_i, np.int32)
+            if with_alpha and len(a[0]) != len(ep_i):
+                raise BasisError("RGB slice and Alpha slice have different dimensions")
+            counts.append(len(ep_i))
+            eps.append(ep_i + ep_base)
+            sels.append(sel_i + sel_base)
+            if with_alpha:
+                a_eps.append(np.asarray(a[0], np.int32) + ep_base)
+                a_sels.append(np.asarray(a[1], np.int32) + sel_base)
+        ep_base += e.shape[0]
+        sel_base += s.shape[0]
+    endpoints = np.concatenate(ep_books, axis=0)
+    selectors = np.concatenate(sel_books, axis=0)
+    alpha = (np.concatenate(a_eps), np.concatenate(a_sels)) if with_alpha else None
+    return endpoints, selectors, np.concatenate(eps), np.concatenate(sels), alpha, counts
+
+
+class Etc1sMultiCorpusTranscoder:
+    """Cross-FILE ETC1S batching: slices from MANY .basis files, each with
+    its own codebook pair, ride one device launch per target (two for the
+    RGBA target when the corpus mixes alpha-paired and RGB-only files -
+    alpha pairing selects the fused kernel, which needs a uniform batch).
+
+    This removes the per-file launch floor of corpus work: the reference
+    decodes file by file (basis.rs:8-86); Etc1sCorpusTranscoder batches the
+    slices WITHIN one file (shared codebook); this class batches the corpus.
+    Codebooks concatenate along the entry axis and every file's index
+    streams shift by its codebook base - the palette gather cannot tell the
+    difference (parity pinned in tests/test_pipeline.py)."""
+
+    def __init__(self, target: str = "rgba"):
+        if target not in ("rgba", "etc1"):
+            raise BasisError(f"unsupported ETC1S corpus target {target!r}")
+        self.target = target
+        self.profiler = Profiler()
+
+    def transcode_files(self, files: list) -> list:
+        """files: list of Etc1sFileWork.  Returns one list per file of
+        per-slice outputs (uint32 [n_i, 16] packed RGBA or [n_i, 2] ETC1
+        lanes), in input order."""
+        from ..ops.etc1s import run_etc1s_etc1, run_etc1s_rgba
+
+        if self.target == "etc1":
+            groups = [(files, False)]
+        else:
+            with_a = [fw for fw in files if fw.alpha_slices is not None]
+            without_a = [fw for fw in files if fw.alpha_slices is None]
+            groups = [(g, bool(a)) for g, a in ((with_a, True), (without_a, False)) if g]
+
+        out_by_id = {}
+        for group, with_alpha in groups:
+            endpoints, selectors, ep, sel, alpha, counts = _batch_etc1s_files(
+                group, with_alpha
+            )
+            n = sum(counts)
+            with self.profiler.stage(f"device/etc1s_{self.target}", texels=n * 16):
+                if self.target == "rgba":
+                    out = run_etc1s_rgba(endpoints, selectors, ep, sel, alpha)
+                else:
+                    out = run_etc1s_etc1(endpoints, selectors, ep, sel)
+            ofs = k = 0
+            for fw in group:
+                per_slice = []
+                for _ in fw.slices:
+                    per_slice.append(out[ofs : ofs + counts[k]])
+                    ofs += counts[k]
+                    k += 1
+                out_by_id[id(fw)] = per_slice
+        return [out_by_id[id(fw)] for fw in files]
+
+
 class Etc1sCorpusTranscoder:
     """ETC1S analog of CorpusTranscoder: many slices whose index streams
     share ONE codebook pair (a .basis file's endpoints/selectors) batch into

@@ -425,15 +425,21 @@ def bench_corpus_device(n_files: int = 8, nbx: int = 64, nby: int = 64) -> dict:
             return [basis_mod._uastc_slice_blocks(d, buf) for d in descs]
 
         def run_uastc(paths):
-            acc = jnp.zeros((), jnp.uint32)
+            # cross-FILE batching (models.CorpusTranscoder's layout): all
+            # files' blocks concatenate into ONE mode-partitioned dispatch -
+            # 19 launches for the whole corpus instead of 19 per file, which
+            # matters under the tunnel's per-launch latency.
             texels = 0
             with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as pool:
-                for slices in pool.map(parse_uastc, paths):
-                    for bl in slices:
-                        res = tr.transcode_async(bl)
-                        texels += bl.shape[0] * 16
-                        for _idx, _m, o, _e in res.groups:
-                            acc = acc + jnp.sum(o, dtype=jnp.uint32)
+                batches = [
+                    bl for slices in pool.map(parse_uastc, paths) for bl in slices
+                ]
+            batch = np.concatenate(batches, axis=0)
+            res = tr.transcode_async(batch)
+            texels = batch.shape[0] * 16
+            acc = jnp.zeros((), jnp.uint32)
+            for _idx, _m, o, _e in res.groups:
+                acc = acc + jnp.sum(o, dtype=jnp.uint32)
             return int(acc), texels
 
         def parse_etc1s(p):
@@ -448,18 +454,28 @@ def bench_corpus_device(n_files: int = 8, nbx: int = 64, nby: int = 64) -> dict:
             return out
 
         def run_etc1s(paths):
-            acc = jnp.zeros((), jnp.uint32)
-            texels = 0
+            # cross-FILE batching (models.Etc1sMultiCorpusTranscoder's
+            # layout): codebooks concatenate, index streams shift by their
+            # file's codebook base, ONE kernel launch serves the corpus.
+            from basisu_rs_tpu.models.transcoder import (
+                Etc1sFileWork,
+                _batch_etc1s_files,
+            )
+
             with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as pool:
-                for slices in pool.map(parse_etc1s, paths):
-                    for dec, sl in slices:
-                        o = etc1s_rgba_pallas(
-                            dec.endpoints, dec.selectors,
-                            np.asarray(sl.endpoint_index, np.int32),
-                            np.asarray(sl.selector_index, np.int32),
-                        )
-                        texels += len(sl.endpoint_index) * 16
-                        acc = acc + jnp.sum(o, dtype=jnp.uint32)
+                works = [
+                    Etc1sFileWork(
+                        dec.endpoints, dec.selectors,
+                        [(np.asarray(sl.endpoint_index, np.int32),
+                          np.asarray(sl.selector_index, np.int32))],
+                    )
+                    for slices in pool.map(parse_etc1s, paths)
+                    for dec, sl in slices
+                ]
+            endpoints, selectors, ep, sel, _a, counts = _batch_etc1s_files(works, False)
+            o = etc1s_rgba_pallas(endpoints, selectors, ep, sel)
+            texels = sum(counts) * 16
+            acc = jnp.sum(o, dtype=jnp.uint32)
             return int(acc), texels
 
         for label, key, fn, paths in (

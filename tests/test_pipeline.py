@@ -90,3 +90,62 @@ def test_pipeline_mesh_matches_plain(tmp_path, golden):
     for r in results:
         for a, b in zip(r.images, plain[r.path].images):
             np.testing.assert_array_equal(a.data, b.data)
+
+
+def _rand_etc1s_file(rng, E, S, slice_lens, alpha=False):
+    from basisu_rs_tpu.models import Etc1sFileWork
+
+    endpoints = np.zeros((E, 4), np.uint8)
+    endpoints[:, :3] = rng.integers(0, 32, (E, 3))
+    endpoints[:, 3] = rng.integers(0, 8, E)
+    selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
+    slices = [
+        (rng.integers(0, E, n).astype(np.int32), rng.integers(0, S, n).astype(np.int32))
+        for n in slice_lens
+    ]
+    alpha_slices = None
+    if alpha:
+        alpha_slices = [
+            (rng.integers(0, E, n).astype(np.int32), rng.integers(0, S, n).astype(np.int32))
+            for n in slice_lens
+        ]
+    return Etc1sFileWork(endpoints, selectors, slices, alpha_slices)
+
+
+def test_multifile_etc1s_matches_per_file():
+    """Cross-file batched ETC1S == per-file transcode, bit-exactly, for both
+    targets, mixed codebook sizes and mixed alpha/non-alpha files."""
+    from basisu_rs_tpu.models import Etc1sCorpusTranscoder, Etc1sMultiCorpusTranscoder
+
+    rng = np.random.default_rng(42)
+    files = [
+        _rand_etc1s_file(rng, 17, 11, (24, 6), alpha=False),
+        _rand_etc1s_file(rng, 33, 29, (40,), alpha=True),
+        _rand_etc1s_file(rng, 5, 7, (12, 12, 3), alpha=False),
+        _rand_etc1s_file(rng, 64, 48, (16,), alpha=True),
+    ]
+
+    for target in ("rgba", "etc1"):
+        multi = Etc1sMultiCorpusTranscoder(target).transcode_files(files)
+        for fw, got_slices in zip(files, multi):
+            per_file = Etc1sCorpusTranscoder(fw.endpoints, fw.selectors, target)
+            want = per_file.transcode_slices(
+                fw.slices, fw.alpha_slices if target == "rgba" else None
+            )
+            assert len(got_slices) == len(want)
+            for g, w in zip(got_slices, want):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_multifile_etc1s_alpha_mismatch_raises():
+    from basisu_rs_tpu.api import BasisError
+    from basisu_rs_tpu.models import Etc1sFileWork, Etc1sMultiCorpusTranscoder
+
+    rng = np.random.default_rng(3)
+    fw = _rand_etc1s_file(rng, 9, 9, (8,), alpha=True)
+    fw.alpha_slices = [(fw.alpha_slices[0][0][:4], fw.alpha_slices[0][1][:4])]
+    try:
+        Etc1sMultiCorpusTranscoder("rgba").transcode_files([fw])
+        raise AssertionError("expected BasisError")
+    except BasisError as e:
+        assert "different dimensions" in str(e)
