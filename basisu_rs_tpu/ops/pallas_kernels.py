@@ -42,7 +42,10 @@ ROWS = 16  # default: 16 x 128 = 2048 blocks per grid step
 # full-aggregate A/B separates cleanly (BC7: 61.9 @ 16 vs 66.0 @ 32
 # Gtex/s; a 32-vs-64 sweep after the round-3 kernel work kept 32).  Larger
 # tiles amortize grid/pipeline overhead; 8-row tiles are uniformly worst.
-ROWS_BY_TARGET = {"bc7": 32, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
+# Round-4 re-sweep after op-removal batches 1+2: BC7 moved to 64 rows
+# (0.226 vs 0.236 ns/blk probe-mix, every probe mode faster; aggregate
+# A/B'd same-session), etc1/etc2 stay at 32.
+ROWS_BY_TARGET = {"bc7": 64, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
 
 # Device kinds the shipped table was tuned on.  On any other TPU kind,
 # rows_for_target consults .jax_cache/tiles_<kind>.json (written by
