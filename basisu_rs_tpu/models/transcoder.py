@@ -149,7 +149,7 @@ def _batch_etc1s_files(files: list, with_alpha: bool):
         for (ep_i, sel_i), a in zip(fw.slices, a_slices):
             ep_i = np.asarray(ep_i, np.int32)
             sel_i = np.asarray(sel_i, np.int32)
-            if with_alpha and len(a[0]) != len(ep_i):
+            if with_alpha and (len(a[0]) != len(ep_i) or len(a[1]) != len(sel_i)):
                 raise BasisError("RGB slice and Alpha slice have different dimensions")
             counts.append(len(ep_i))
             eps.append(ep_i + ep_base)
@@ -165,6 +165,38 @@ def _batch_etc1s_files(files: list, with_alpha: bool):
     return endpoints, selectors, np.concatenate(eps), np.concatenate(sels), alpha, counts
 
 
+# Per-launch bound on concatenated codebook entries (each table).  The
+# Pallas palette gather is a linear chunk-select (ops/bits.gather_chunked):
+# device cost per block grows with the batch's TOTAL codebook chunks, and
+# the concatenated table must fit VMEM.  16,384 entries = 128 chunks =
+# 64 KiB per table in VMEM; a .basis file caps each codebook at 65,535
+# (u16 header fields), so an oversized single file still rides alone.
+MAX_BATCH_CODEBOOK_ENTRIES = 16384
+
+
+def _split_by_codebook_budget(files: list, cap: int | None = None):
+    """Greedily partition files into launch groups whose concatenated
+    endpoint AND selector codebooks each stay under `cap` entries (default
+    MAX_BATCH_CODEBOOK_ENTRIES, read at call time), keeping input order.
+    A single file over the cap gets its own group (the kernel handles it;
+    it just cannot share a launch)."""
+    if cap is None:
+        cap = MAX_BATCH_CODEBOOK_ENTRIES
+    groups, cur, e_sum, s_sum = [], [], 0, 0
+    for fw in files:
+        e = np.asarray(fw.endpoints).shape[0]
+        s = np.asarray(fw.selectors).shape[0]
+        if cur and (e_sum + e > cap or s_sum + s > cap):
+            groups.append(cur)
+            cur, e_sum, s_sum = [], 0, 0
+        cur.append(fw)
+        e_sum += e
+        s_sum += s
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 class Etc1sMultiCorpusTranscoder:
     """Cross-FILE ETC1S batching: slices from MANY .basis files, each with
     its own codebook pair, ride one device launch per target (two for the
@@ -176,7 +208,10 @@ class Etc1sMultiCorpusTranscoder:
     slices WITHIN one file (shared codebook); this class batches the corpus.
     Codebooks concatenate along the entry axis and every file's index
     streams shift by its codebook base - the palette gather cannot tell the
-    difference (parity pinned in tests/test_pipeline.py)."""
+    difference (parity pinned in tests/test_pipeline.py).  Launches are
+    bounded: groups whose concatenated codebooks would exceed
+    MAX_BATCH_CODEBOOK_ENTRIES split into multiple launches, so gather cost
+    and VMEM stay bounded for arbitrarily large corpora."""
 
     def __init__(self, target: str = "rgba"):
         if target not in ("rgba", "etc1"):
@@ -184,18 +219,26 @@ class Etc1sMultiCorpusTranscoder:
         self.target = target
         self.profiler = Profiler()
 
-    def transcode_files(self, files: list) -> list:
+    def transcode_files(self, files: list, device: bool = False) -> list:
         """files: list of Etc1sFileWork.  Returns one list per file of
         per-slice outputs (uint32 [n_i, 16] packed RGBA or [n_i, 2] ETC1
-        lanes), in input order."""
+        lanes), in input order.  device=True keeps outputs device-resident
+        (no D2H) for on-device downstream consumers."""
         from ..ops.etc1s import run_etc1s_etc1, run_etc1s_rgba
 
+        if not files:
+            return []
         if self.target == "etc1":
             groups = [(files, False)]
         else:
             with_a = [fw for fw in files if fw.alpha_slices is not None]
             without_a = [fw for fw in files if fw.alpha_slices is None]
             groups = [(g, bool(a)) for g, a in ((with_a, True), (without_a, False)) if g]
+        groups = [
+            (sub, with_alpha)
+            for g, with_alpha in groups
+            for sub in _split_by_codebook_budget(g)
+        ]
 
         out_by_id = {}
         for group, with_alpha in groups:
@@ -205,9 +248,9 @@ class Etc1sMultiCorpusTranscoder:
             n = sum(counts)
             with self.profiler.stage(f"device/etc1s_{self.target}", texels=n * 16):
                 if self.target == "rgba":
-                    out = run_etc1s_rgba(endpoints, selectors, ep, sel, alpha)
+                    out = run_etc1s_rgba(endpoints, selectors, ep, sel, alpha, device=device)
                 else:
-                    out = run_etc1s_etc1(endpoints, selectors, ep, sel)
+                    out = run_etc1s_etc1(endpoints, selectors, ep, sel, device=device)
             ofs = k = 0
             for fw in group:
                 per_slice = []

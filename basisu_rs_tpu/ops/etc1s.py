@@ -116,24 +116,29 @@ def _use_pallas() -> bool:
     return jax.default_backend() in ("tpu", "axon")
 
 
-def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass=None):
+def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass=None,
+                   device=False):
     """Host entry: decode an ETC1S slice to packed RGBA texels.
 
     alpha_pass: optional (ep_idx, sel_idx) of the paired alpha slice; its
     G channel replaces the alpha byte (basis.rs:26-50 pairing).
+    device=True keeps the result as a device array (no D2H) for pipelines
+    whose downstream consumer is on-device - e.g. an ML input pipeline
+    feeding decoded texels straight into a training step.
     On TPU the Pallas kernels run (chunked in-VMEM codebook gathers); the
     jnp.take path serves CPU."""
+    mat = (lambda x: x) if device else np.asarray
     if _use_pallas():
         from .etc1s_pallas import etc1s_rgba_alpha_pallas, etc1s_rgba_pallas
 
         if alpha_pass is not None:
             # fused kernel: one launch, no [N,16] intermediates through HBM
-            return np.asarray(
+            return mat(
                 etc1s_rgba_alpha_pallas(
                     endpoints_np, selectors_np, ep_idx_np, sel_idx_np, *alpha_pass
                 )
             )
-        return np.asarray(
+        return mat(
             etc1s_rgba_pallas(endpoints_np, selectors_np, ep_idx_np, sel_idx_np)
         )
     rgba = _jitted("rgba")(
@@ -147,17 +152,18 @@ def run_etc1s_rgba(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, alpha_pass
             jnp.asarray(a_ep.astype(np.int32)), jnp.asarray(a_sel.astype(np.int32)),
         )
         rgba = (rgba & U32(0x00FFFFFF)) | (a << U32(24))
-    return np.asarray(rgba)
+    return mat(rgba)
 
 
-def run_etc1s_etc1(endpoints_np, selectors_np, ep_idx_np, sel_idx_np):
+def run_etc1s_etc1(endpoints_np, selectors_np, ep_idx_np, sel_idx_np, device=False):
+    mat = (lambda x: x) if device else np.asarray
     wire_np = selector_wire_words_np(selectors_np)
     if _use_pallas():
         from .etc1s_pallas import etc1s_etc1_pallas
 
-        return np.asarray(etc1s_etc1_pallas(endpoints_np, wire_np, ep_idx_np, sel_idx_np))
+        return mat(etc1s_etc1_pallas(endpoints_np, wire_np, ep_idx_np, sel_idx_np))
     out = _jitted("etc1")(
         jnp.asarray(endpoints_np), jnp.asarray(wire_np),
         jnp.asarray(ep_idx_np.astype(np.int32)), jnp.asarray(sel_idx_np.astype(np.int32)),
     )
-    return np.asarray(out)
+    return mat(out)

@@ -149,3 +149,78 @@ def test_multifile_etc1s_alpha_mismatch_raises():
         raise AssertionError("expected BasisError")
     except BasisError as e:
         assert "different dimensions" in str(e)
+
+
+def test_multifile_etc1s_empty_and_selector_mismatch():
+    """ADVICE r4: empty corpus returns [] for every target (no concatenate
+    crash); a mismatched alpha SELECTOR stream (a[1]) raises the same
+    BasisError as a mismatched endpoint stream."""
+    from basisu_rs_tpu.api import BasisError
+    from basisu_rs_tpu.models import Etc1sMultiCorpusTranscoder
+
+    for target in ("rgba", "etc1"):
+        assert Etc1sMultiCorpusTranscoder(target).transcode_files([]) == []
+
+    rng = np.random.default_rng(4)
+    fw = _rand_etc1s_file(rng, 9, 9, (8,), alpha=True)
+    a_ep, a_sel = fw.alpha_slices[0]
+    fw.alpha_slices = [(a_ep, a_sel[:4])]  # ep stream matches, sel stream short
+    try:
+        Etc1sMultiCorpusTranscoder("rgba").transcode_files([fw])
+        raise AssertionError("expected BasisError")
+    except BasisError as e:
+        assert "different dimensions" in str(e)
+
+
+def test_multifile_etc1s_codebook_budget_split():
+    """Launch groups are bounded by MAX_BATCH_CODEBOOK_ENTRIES: a corpus
+    whose concatenated codebooks exceed the cap splits into several
+    launches with bit-identical results, and an oversized single file rides
+    alone (ADVICE r4: bound gather cost / VMEM for large corpora)."""
+    from basisu_rs_tpu.models import Etc1sCorpusTranscoder, Etc1sMultiCorpusTranscoder
+    from basisu_rs_tpu.models.transcoder import _split_by_codebook_budget
+
+    rng = np.random.default_rng(7)
+    files = [
+        _rand_etc1s_file(rng, 40, 8, (16, 5), alpha=False),
+        _rand_etc1s_file(rng, 50, 8, (24,), alpha=False),
+        _rand_etc1s_file(rng, 10, 8, (8,), alpha=False),
+        _rand_etc1s_file(rng, 90, 8, (12,), alpha=False),
+    ]
+    # Cap of 64 endpoint entries: files of E=40,50,10,90 must split into
+    # [40], [50, 10], [90] (the 90 exceeds the cap alone but still rides).
+    groups = _split_by_codebook_budget(files, cap=64)
+    assert [[np.asarray(fw.endpoints).shape[0] for fw in g] for g in groups] == [
+        [40], [50, 10], [90]
+    ]
+
+    tr = Etc1sMultiCorpusTranscoder("rgba")
+    import basisu_rs_tpu.models.transcoder as tmod
+
+    orig = tmod.MAX_BATCH_CODEBOOK_ENTRIES
+    try:
+        tmod.MAX_BATCH_CODEBOOK_ENTRIES = 64
+        split = tr.transcode_files(files)
+    finally:
+        tmod.MAX_BATCH_CODEBOOK_ENTRIES = orig
+    for fw, got_slices in zip(files, split):
+        want = Etc1sCorpusTranscoder(fw.endpoints, fw.selectors, "rgba").transcode_slices(fw.slices)
+        for g, w in zip(got_slices, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_multifile_etc1s_device_resident():
+    """transcode_files(device=True) returns device arrays (no forced D2H)
+    with values identical to the host path."""
+    import jax
+
+    from basisu_rs_tpu.models import Etc1sMultiCorpusTranscoder
+
+    rng = np.random.default_rng(11)
+    files = [_rand_etc1s_file(rng, 17, 11, (24, 6), alpha=False)]
+    host = Etc1sMultiCorpusTranscoder("rgba").transcode_files(files)
+    dev = Etc1sMultiCorpusTranscoder("rgba").transcode_files(files, device=True)
+    for h_slices, d_slices in zip(host, dev):
+        for h, d in zip(h_slices, d_slices):
+            assert isinstance(d, jax.Array)
+            np.testing.assert_array_equal(np.asarray(d), np.asarray(h))
