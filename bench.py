@@ -369,22 +369,54 @@ def bench_corpus(n_files: int = 8, nbx: int = 64, nby: int = 64) -> None:
                 log(f"    {line}")
 
 
-def bench_corpus_device(n_files: int = 8, nbx: int = 64, nby: int = 64) -> dict:
-    """End-to-end corpus pipeline rate with outputs kept DEVICE-RESIDENT:
-    host parse + CRC on worker threads, device kernels, every file's outputs
-    folded into one on-device u32 checksum, ONE scalar riding D2H at the end
-    (the readback that forces completion - under the axon tunnel
-    block_until_ready does not block).  This is the pipeline number
-    bench_corpus cannot show through the ~0.3 MB/s tunnel D2H path (a
-    transport artifact, not a pipeline property; see CLAUDE.md)."""
+def sync_rtt_s(samples: int = 6) -> float:
+    """Per-sync tunnel round-trip floor: host time to read back one fresh
+    device scalar.  Every synchronous corpus result pays at least this."""
+    for _ in range(2):
+        int(jnp.uint32(1) + 1)
+    ts = []
+    for i in range(samples):
+        t0 = time.perf_counter()
+        int(jnp.uint32(i) + 1)
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def bench_corpus_device(n_files: int = 8, nbx: int = 128, nby: int = 128) -> dict:
+    """End-to-end corpus pipeline rates with outputs kept DEVICE-RESIDENT:
+    host parse + CRC (+ C++ ETC1S front-end) -> device kernels -> outputs
+    folded into one on-device u32 checksum; only scalars ride D2H.
+
+    Two rates per target, plus the measured stage decomposition that
+    explains the gap between them and the kernel rate (round-4 verdict
+    item 1 - the old single number was committed undiagnosed):
+
+    - SYNC (one-shot latency): parse -> dispatch -> wait.  Bounded below by
+      one tunnel sync round-trip (~27-80 ms here, `sync_rtt_ms`); for a
+      corpus of a few Mtexels that latency IS the number.  Reported so the
+      floor is visible, not hidden.
+    - PIPELINED (steady state): R reps of the full per-corpus work (fresh
+      parse + dispatch each rep) with every rep's checksum folded into one
+      device scalar, ONE sync at the end; the marginal per-rep time
+      (T(R_hi)-T(R_lo))/(R_hi-R_lo) cancels the sync latency exactly the
+      way a streaming ML input pipeline does by never syncing per corpus.
+      What remains is real per-corpus cost: single-threaded Python/numpy
+      parse + partition + enqueue on this 1-vCPU host (the stage table
+      attributes it), not device time (~25 us/corpus at kernel rate).
+
+    Stage table (logged per target): parse, dispatch-enqueue, sync-wait,
+    sync RTT floor, and the device-compute share implied by the kernel
+    bench."""
     import tempfile
-    from concurrent.futures import ThreadPoolExecutor
     from pathlib import Path as P
 
     from basisu_rs_tpu.container import basis as basis_mod
     from basisu_rs_tpu.container.writer import write_etc1s_basis, write_uastc_basis
-    from basisu_rs_tpu.models.transcoder import UastcTranscoder
-    from basisu_rs_tpu.ops.etc1s_pallas import etc1s_rgba_pallas
+    from basisu_rs_tpu.models.transcoder import (
+        Etc1sFileWork,
+        Etc1sMultiCorpusTranscoder,
+        UastcTranscoder,
+    )
 
     rng = np.random.default_rng(17)
     blocks = build_batch(nbx * nby)
@@ -394,7 +426,8 @@ def bench_corpus_device(n_files: int = 8, nbx: int = 64, nby: int = 64) -> dict:
     endpoints[:, 3] = rng.integers(0, 8, E)
     selectors = rng.integers(0, 256, (S, 4)).astype(np.uint8)
 
-    rates = {}
+    rates = {"sync_rtt_ms": round(sync_rtt_s() * 1e3, 1)}
+    log(f"corpus-device sync RTT floor: {rates['sync_rtt_ms']:.1f} ms")
     with tempfile.TemporaryDirectory() as td:
         uastc_paths, etc1s_paths = [], []
         for i in range(n_files):
@@ -416,83 +449,111 @@ def bench_corpus_device(n_files: int = 8, nbx: int = 64, nby: int = 64) -> dict:
             etc1s_paths.append(p)
 
         tr = UastcTranscoder("bc7")
+        etc1s_tr = Etc1sMultiCorpusTranscoder("rgba")
 
-        def parse_uastc(p):
-            buf = p.read_bytes()
-            h = basis_mod.read_header(buf)
-            assert basis_mod.check_file_checksum(buf, h)
-            descs = basis_mod.read_slice_descs(buf, h)
-            return [basis_mod._uastc_slice_blocks(d, buf) for d in descs]
+        def parse_uastc(paths):
+            batches = []
+            for p in paths:
+                buf = p.read_bytes()
+                h = basis_mod.read_header(buf)
+                assert basis_mod.check_file_checksum(buf, h)
+                for d in basis_mod.read_slice_descs(buf, h):
+                    batches.append(basis_mod._uastc_slice_blocks(d, buf))
+            return np.concatenate(batches, axis=0)
 
-        def run_uastc(paths):
+        def dispatch_uastc(batch):
             # cross-FILE batching (models.CorpusTranscoder's layout): all
             # files' blocks concatenate into ONE mode-partitioned dispatch -
-            # 19 launches for the whole corpus instead of 19 per file, which
-            # matters under the tunnel's per-launch latency.
-            texels = 0
-            with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as pool:
-                batches = [
-                    bl for slices in pool.map(parse_uastc, paths) for bl in slices
-                ]
-            batch = np.concatenate(batches, axis=0)
+            # 19 launches for the whole corpus instead of 19 per file.
             res = tr.transcode_async(batch)
-            texels = batch.shape[0] * 16
             acc = jnp.zeros((), jnp.uint32)
             for _idx, _m, o, _e in res.groups:
                 acc = acc + jnp.sum(o, dtype=jnp.uint32)
-            return int(acc), texels
+            return acc, batch.shape[0] * 16
 
-        def parse_etc1s(p):
-            buf = p.read_bytes()
-            h = basis_mod.read_header(buf)
-            assert basis_mod.check_file_checksum(buf, h)
-            dec = basis_mod.make_etc1s_decoder(h, buf)
-            out = []
-            for d in basis_mod.read_slice_descs(buf, h):
-                sl = dec.decode_slice(d.num_blocks_x, d.num_blocks_y, d.data(buf))
-                out.append((dec, sl))
-            return out
+        def parse_etc1s(paths):
+            works = []
+            for p in paths:
+                buf = p.read_bytes()
+                h = basis_mod.read_header(buf)
+                assert basis_mod.check_file_checksum(buf, h)
+                dec = basis_mod.make_etc1s_decoder(h, buf)
+                slices = []
+                for d in basis_mod.read_slice_descs(buf, h):
+                    sl = dec.decode_slice(d.num_blocks_x, d.num_blocks_y, d.data(buf))
+                    slices.append((np.asarray(sl.endpoint_index, np.int32),
+                                   np.asarray(sl.selector_index, np.int32)))
+                works.append(Etc1sFileWork(dec.endpoints, dec.selectors, slices))
+            return works
 
-        def run_etc1s(paths):
-            # cross-FILE batching (models.Etc1sMultiCorpusTranscoder's
-            # layout): codebooks concatenate, index streams shift by their
-            # file's codebook base, ONE kernel launch serves the corpus.
-            from basisu_rs_tpu.models.transcoder import (
-                Etc1sFileWork,
-                _batch_etc1s_files,
-            )
+        def dispatch_etc1s(works):
+            # the shipped cross-file surface: codebooks concatenate, index
+            # streams rebase, bounded launch groups (ADVICE r4: the bench
+            # now exercises Etc1sMultiCorpusTranscoder itself, not its
+            # private helper - methodology change vs bench_r4_* JSONs).
+            outs = etc1s_tr.transcode_files(works, device=True)
+            acc = jnp.zeros((), jnp.uint32)
+            texels = 0
+            for per_file in outs:
+                for o in per_file:
+                    acc = acc + jnp.sum(o, dtype=jnp.uint32)
+                    texels += o.shape[0] * 16
+            return acc, texels
 
-            with ThreadPoolExecutor(min(8, os.cpu_count() or 1)) as pool:
-                works = [
-                    Etc1sFileWork(
-                        dec.endpoints, dec.selectors,
-                        [(np.asarray(sl.endpoint_index, np.int32),
-                          np.asarray(sl.selector_index, np.int32))],
-                    )
-                    for slices in pool.map(parse_etc1s, paths)
-                    for dec, sl in slices
-                ]
-            endpoints, selectors, ep, sel, _a, counts = _batch_etc1s_files(works, False)
-            o = etc1s_rgba_pallas(endpoints, selectors, ep, sel)
-            texels = sum(counts) * 16
-            acc = jnp.sum(o, dtype=jnp.uint32)
-            return int(acc), texels
-
-        for label, key, fn, paths in (
-            ("UASTC->BC7", "uastc_bc7", run_uastc, uastc_paths),
-            ("ETC1S->RGBA", "etc1s_rgba", run_etc1s, etc1s_paths),
+        for label, key, parse, dispatch, paths in (
+            ("UASTC->BC7", "uastc_bc7", parse_uastc, dispatch_uastc, uastc_paths),
+            ("ETC1S->RGBA", "etc1s_rgba", parse_etc1s, dispatch_etc1s, etc1s_paths),
         ):
-            fn(paths)  # warm: compiles + page cache
-            best = float("inf")
+            int(dispatch(parse(paths))[0])  # warm: compiles + page cache
+
+            # stage decomposition (best-of-3 per stage, one sync per rep)
+            st_parse = st_disp = st_sync = float("inf")
             texels = 0
             for _ in range(3):
                 t0 = time.perf_counter()
-                _, texels = fn(paths)
-                best = min(best, time.perf_counter() - t0)
-            rates[key] = texels / best
+                work = parse(paths)
+                t1 = time.perf_counter()
+                acc, texels = dispatch(work)
+                t2 = time.perf_counter()
+                int(acc)
+                t3 = time.perf_counter()
+                st_parse = min(st_parse, t1 - t0)
+                st_disp = min(st_disp, t2 - t1)
+                st_sync = min(st_sync, t3 - t2)
+            total = st_parse + st_disp + st_sync
+            rates[key] = texels / total
+            dev_s = texels / 1e6 / 75e3  # ~75 Gtex/s kernel-bench floor
             log(
-                f"corpus-device {label}: {texels/best/1e6:8.1f} Mtex/s end-to-end "
-                f"(device-resident outputs, one-scalar readback)"
+                f"corpus-device {label} stage table ({texels/1e6:.2f} Mtex): "
+                f"parse {st_parse*1e3:.1f} ms, dispatch-enqueue {st_disp*1e3:.1f} ms, "
+                f"sync-wait {st_sync*1e3:.1f} ms (RTT floor {rates['sync_rtt_ms']:.1f} ms), "
+                f"device compute ~{dev_s*1e3:.2f} ms at kernel rate"
+            )
+            log(
+                f"corpus-device {label} SYNC: {texels/total/1e6:8.1f} Mtex/s "
+                f"(one-shot latency incl. tunnel sync)"
+            )
+
+            # pipelined steady state: R reps, one sync
+            def run_r(r):
+                t0 = time.perf_counter()
+                total_acc = jnp.zeros((), jnp.uint32)
+                for _ in range(r):
+                    acc, _ = dispatch(parse(paths))
+                    total_acc = total_acc + acc
+                int(total_acc)
+                return time.perf_counter() - t0
+
+            r_lo, r_hi = 2, 10
+            run_r(r_lo)  # warm
+            t_lo = min(run_r(r_lo) for _ in range(2))
+            t_hi = min(run_r(r_hi) for _ in range(2))
+            marginal = max((t_hi - t_lo) / (r_hi - r_lo), 1e-9)
+            rates[key + "_pipelined"] = texels / marginal
+            log(
+                f"corpus-device {label} PIPELINED: {texels/marginal/1e6:8.1f} Mtex/s "
+                f"steady-state (marginal per-corpus {marginal*1e3:.1f} ms; "
+                f"host parse+enqueue bound - see stage table)"
             )
     return rates
 
@@ -528,16 +589,26 @@ def supervise() -> int:
     a single parseable JSON line with an "error" field, never a traceback."""
     import subprocess
 
-    budget_s = float(os.environ.get("BENCH_TUNNEL_BUDGET_S", 2700))
+    # Budget default covers the WORST observed tunnel outage (CLAUDE.md:
+    # 20-60+ min fully dark stretches) plus a full bench run on the far
+    # side; round-4 verdict item 6a - 2700 s gave up mid-outage by design.
+    budget_s = float(os.environ.get("BENCH_TUNNEL_BUDGET_S", 7200))
     probe_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 120))
     run_timeout = float(os.environ.get("BENCH_RUN_TIMEOUT_S", 2700))
-    deadline = time.monotonic() + budget_s
+    t_start = time.monotonic()
+    deadline = t_start + budget_s
     env = dict(os.environ, BENCH_CHILD="1")
     attempts, backoff = 0, 60.0
     last_err = "tunnel probe never succeeded"
+    timeline = []  # probe/run event log, carried in the error JSON
+
+    def record(event: str):
+        timeline.append({"t_s": round(time.monotonic() - t_start, 1), "event": event})
+
     while True:
         attempts += 1
         if _probe_device(probe_timeout):
+            record(f"probe {attempts} ok")
             log(f"[bench supervisor] probe ok (attempt {attempts}); running bench")
             try:
                 r = subprocess.run(
@@ -546,6 +617,7 @@ def supervise() -> int:
                 )
             except subprocess.TimeoutExpired as e:
                 last_err = f"bench child timed out after {run_timeout:.0f}s (tunnel went dark mid-run?)"
+                record("run timeout")
                 log(f"[bench supervisor] {last_err}")
                 if e.stderr:
                     log(e.stderr.decode() if isinstance(e.stderr, bytes) else e.stderr)
@@ -555,8 +627,10 @@ def supervise() -> int:
                     sys.stdout.write(r.stdout)
                     return 0
                 last_err = f"bench child rc={r.returncode}: {r.stderr.strip().splitlines()[-1] if r.stderr.strip() else 'no stderr'}"
+                record(f"run failed rc={r.returncode}")
                 log(f"[bench supervisor] {last_err}")
         else:
+            record(f"probe {attempts} failed")
             log(f"[bench supervisor] probe attempt {attempts} failed/hung (tunnel dark)")
         if time.monotonic() + backoff > deadline:
             break
@@ -572,6 +646,9 @@ def supervise() -> int:
                 "unit": "Mtexels/s",
                 "vs_baseline": None,
                 "error": f"TPU unavailable after {attempts} attempts over {budget_s:.0f}s: {last_err}",
+                "probe_attempts": attempts,
+                "budget_s": budget_s,
+                "timeline": timeline,
             }
         )
     )
@@ -605,11 +682,24 @@ def main() -> None:
             from bench_etc1s_host import aggregate_rate
 
             workers = os.cpu_count() or 1
-            hrt = aggregate_rate(workers)
-            log(
-                f"ETC1S host front-end aggregate ({workers} worker(s) = machine "
-                f"core count): {hrt/1e6:.1f} Mblocks/s total"
-            )
+            if workers == 1:
+                # A 1-worker "aggregate" is the single-core number re-measured
+                # with different region lengths (round-4 verdict item 4):
+                # report the per-core figure itself, flagged degenerate, so
+                # downstream readers cannot mistake scheduler noise for
+                # scaling.  Real multi-worker hosts take the measured path.
+                hrt = hr
+                extra["etc1s_host_degenerate"] = True
+                log(
+                    "ETC1S host front-end aggregate: 1 vCPU - reporting the "
+                    "per-core rate (degenerate; no scaling axis on this host)"
+                )
+            else:
+                hrt = aggregate_rate(workers)
+                log(
+                    f"ETC1S host front-end aggregate ({workers} worker(s) = machine "
+                    f"core count): {hrt/1e6:.1f} Mblocks/s total"
+                )
             extra["etc1s_host_mblocks_s_total"] = round(hrt / 1e6, 1)
             extra["etc1s_host_workers"] = workers
         except ImportError:
@@ -624,10 +714,15 @@ def main() -> None:
         serate = bench_etc1s_sharded()
         log(f"ETC1S->RGBA (sharded, {len(jax.devices())} chip(s)): {serate/1e9:.2f} Gtexels/s")
         extra["sharded_etc1s_rgba_mtexels_s"] = round(serate / 1e6, 1)
+        # end-to-end corpus pipeline (device-resident): DEFAULT since round 5
+        # (round-4 verdict item 1) - sync + pipelined rates + RTT floor
+        for key, r in bench_corpus_device().items():
+            if key == "sync_rtt_ms":
+                extra["corpus_device_sync_rtt_ms"] = r
+            else:
+                extra[f"corpus_device_{key}_mtexels_s"] = round(r / 1e6, 1)
 
     if os.environ.get("BENCH_ALL"):
-        for key, r in bench_corpus_device().items():
-            extra[f"corpus_device_{key}_mtexels_s"] = round(r / 1e6, 1)
         bench_corpus()
 
     per_chip_target = TARGET_GTEXELS_V5E8 / 8

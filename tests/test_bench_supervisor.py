@@ -76,3 +76,53 @@ def test_child_fails_once_then_succeeds(monkeypatch, capsys):
     rec = _last_json(capsys.readouterr().out)
     assert rc == 0 and len(calls) == 2
     assert rec["value"] == 1.0
+
+
+def test_error_json_carries_probe_timeline(monkeypatch, capsys):
+    """Round-4 verdict item 5: a failed capture must be diagnosable post-hoc
+    - the error JSON carries attempt count, budget, and a per-event
+    timeline with monotonic offsets."""
+    monkeypatch.setenv("BENCH_TUNNEL_BUDGET_S", "0.01")
+    probes = []
+    monkeypatch.setattr(bench, "_probe_device", lambda t: probes.append(1) or False)
+    rc = bench.supervise()
+    rec = _last_json(capsys.readouterr().out)
+    assert rc == 1
+    assert rec["probe_attempts"] == len(probes) >= 1
+    assert rec["budget_s"] == 0.01
+    assert len(rec["timeline"]) == len(probes)
+    for ev in rec["timeline"]:
+        assert isinstance(ev["t_s"], float) and ev["t_s"] >= 0
+        assert "probe" in ev["event"] and "failed" in ev["event"]
+
+
+def test_timeline_mixes_probe_and_run_events(monkeypatch, capsys):
+    monkeypatch.setenv("BENCH_TUNNEL_BUDGET_S", "0.01")
+    monkeypatch.setattr(bench, "_probe_device", lambda t: True)
+
+    def boom(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="bench", timeout=1)
+
+    monkeypatch.setattr(subprocess, "run", boom)
+    rc = bench.supervise()
+    rec = _last_json(capsys.readouterr().out)
+    assert rc == 1
+    events = [ev["event"] for ev in rec["timeline"]]
+    assert "probe 1 ok" in events and "run timeout" in events
+
+
+def test_default_budget_covers_observed_outages(monkeypatch):
+    """The default budget must exceed the worst dark stretch documented in
+    CLAUDE.md (60+ min) so a capture started at the front of an outage
+    still reaches the far side (round-4 verdict item 6a)."""
+    monkeypatch.delenv("BENCH_TUNNEL_BUDGET_S", raising=False)
+    import ast, inspect
+
+    src = inspect.getsource(bench.supervise)
+    # the default literal in the env lookup
+    call = next(
+        n for n in ast.walk(ast.parse(src))
+        if isinstance(n, ast.Call) and getattr(n.func, "attr", "") == "get"
+        and n.args and getattr(n.args[0], "value", "") == "BENCH_TUNNEL_BUDGET_S"
+    )
+    assert call.args[1].value >= 3600 + 2700  # worst outage + one full run

