@@ -106,25 +106,12 @@ def test_native_decode_single_core_floor(slice_setup):
     assert rate > floor, f"native decode_slice at {rate:.1f} Mblk/s/core (floor {floor})"
 
 
-def test_native_decode_contention_aware_ratio_guard(slice_setup):
-    """Contention-aware perf guard (round-3 verdict: the absolute 35 Mblk/s
-    floor has a 3x cushion a real 2x regression would sail through).
-
-    Metric: decode rate vs a fixed decode-profile C calibration loop
-    (native.calib_native - L1 table walk, data-dependent branch, bit mixing)
-    timed interleaved best-of-8 with MATCHED region lengths (~0.4 ms each:
-    short regions slot between preemptions, so best-of-N finds an
-    uninterrupted window for both sides even on a fully contended core;
-    mismatched lengths were measured to skew the ratio 2x).  Machine speed
-    divides out.  Measured band on the 1-vCPU builder host: 0.68-0.75 quiet
-    AND under a spinning competitor process.
-
-    The asserted operating band [0.45, 0.90) makes the guard's regression
-    response structural: any measured ratio in the band halves to below the
-    0.45 floor, so a genuine 2x slowdown of the decode loop trips the guard
-    under ANY contention level rather than hiding inside a noisy absolute
-    floor."""
-    models, nbx, nby, data = slice_setup
+def _measure_ratio(models, nbx, nby, data, reps=8):
+    """Decode/calib ratio, interleaved best-of-`reps` with MATCHED region
+    lengths (~0.4 ms each: short regions slot between preemptions, so
+    best-of-N finds an uninterrupted window for both sides even on a fully
+    contended core; mismatched lengths were measured to skew the ratio 2x).
+    Machine speed divides out."""
     from basisu_rs_tpu.native import calib_native
 
     n = nbx * nby
@@ -132,24 +119,99 @@ def test_native_decode_contention_aware_ratio_guard(slice_setup):
     models.decode_slice(nbx, nby, data)
     calib_native(CAL)
     best_c = best_k = float("inf")
-    for _ in range(8):
+    for _ in range(reps):
         t0 = time.perf_counter()
         models.decode_slice(nbx, nby, data)
         best_c = min(best_c, time.perf_counter() - t0)
         t0 = time.perf_counter()
         calib_native(CAL)
         best_k = min(best_k, time.perf_counter() - t0)
+    return (n / best_c) / (CAL / best_k)
 
-    ratio = (n / best_c) / (CAL / best_k)
-    assert ratio > 0.45, (
-        f"decode/calib ratio {ratio:.3f} below floor 0.45 (quiet baseline "
-        f"~0.70): the native front-end regressed algorithmically"
+
+def test_native_decode_contention_aware_ratio_guard(slice_setup):
+    """Contention-aware perf guard (round-3 verdict: the absolute 35 Mblk/s
+    floor has a 3x cushion a real 2x regression would sail through).
+
+    Metric: decode rate vs a fixed decode-profile C calibration loop
+    (native.calib_native - L1 table walk, data-dependent branch, bit
+    mixing); see _measure_ratio.  Measured band on the 1-vCPU builder host:
+    0.68-0.75 quiet AND under a spinning competitor process.
+
+    The operating band derives from a PER-MACHINE pinned quiet ratio
+    (tests/perf_band.py, cached in .jax_cache/ like the Pallas tile
+    autotune - round-4 verdict item 7): floor = 0.63 x quiet, so any
+    in-band measurement halves to below the floor and a genuine 2x decode
+    slowdown trips under ANY contention level.  A measurement above the
+    ceiling (legitimate speedup or new hardware) re-measures and RE-PINS
+    the cache mechanically instead of failing CI."""
+    import warnings
+
+    import perf_band
+
+    models, nbx, nby, data = slice_setup
+    quiet = perf_band.load_quiet()
+    ratio = _measure_ratio(models, nbx, nby, data)
+    verdict = perf_band.evaluate_guard(ratio, quiet)
+    if verdict == "repin":
+        # confirm with a fresh, longer measurement before moving the pin
+        ratio2 = _measure_ratio(models, nbx, nby, data, reps=16)
+        if perf_band.evaluate_guard(ratio2, quiet) == "repin":
+            perf_band.save_quiet(ratio2)
+            warnings.warn(
+                f"decode/calib ratio {ratio2:.3f} above the pinned band for "
+                f"quiet={quiet:.3f}: legitimate speedup or new hardware; "
+                f"band re-pinned to {perf_band.band_path()}"
+            )
+            return
+        verdict = perf_band.evaluate_guard(ratio2, quiet)
+        ratio = ratio2
+    floor, ceil = perf_band.derive_band(quiet)
+    assert verdict == "ok", (
+        f"decode/calib ratio {ratio:.3f} below floor {floor:.3f} (pinned "
+        f"quiet {quiet:.3f}): the native front-end regressed algorithmically"
     )
-    assert ratio < 0.90, (
-        f"decode/calib ratio {ratio:.3f} above the calibrated band: "
-        f"re-pin the band (or the calib loop regressed) so that a 2x decode "
-        f"regression still lands below the 0.45 floor"
+
+
+def test_guard_band_simulated_speedup_and_regression(tmp_path, monkeypatch):
+    """Round-4 verdict item 7 done-criteria, timing-free: the guard logic
+    passes (via mechanical re-pin) on a simulated 1.3x decode speedup and
+    still fails on a simulated 2x regression."""
+    import perf_band
+
+    monkeypatch.setattr(
+        perf_band, "band_path", lambda: tmp_path / "perf_band_test.json"
     )
+    perf_band.save_quiet(0.70)
+    quiet = perf_band.load_quiet()
+    assert quiet == 0.70
+
+    # in-band measurement: plain pass
+    assert perf_band.evaluate_guard(0.72, quiet) == "ok"
+    # 1.3x speedup: re-pin, not a CI failure
+    assert perf_band.evaluate_guard(0.70 * 1.3, quiet) == "repin"
+    perf_band.save_quiet(0.70 * 1.3)
+    # ...and the new pin governs subsequent runs
+    new_quiet = perf_band.load_quiet()
+    assert new_quiet == pytest.approx(0.91)
+    assert perf_band.evaluate_guard(0.91, new_quiet) == "ok"
+    # 2x regression: fails under the original pin AND under the new one
+    assert perf_band.evaluate_guard(0.70 / 2, quiet) == "fail"
+    assert perf_band.evaluate_guard(0.91 / 2, new_quiet) == "fail"
+    # a 2x regression of any IN-BAND measurement trips structurally
+    floor, ceil = perf_band.derive_band(new_quiet)
+    assert ceil / 2 < floor
+
+
+def test_guard_band_fallback_matches_round4_hardcode():
+    """With no per-machine pin, the derived band reproduces the round-4
+    hard-coded [0.45, 0.90) within a few percent, so behavior on fresh
+    checkouts is unchanged."""
+    import perf_band
+
+    floor, ceil = perf_band.derive_band(perf_band.FALLBACK_QUIET)
+    assert floor == pytest.approx(0.45, abs=0.02)
+    assert ceil == pytest.approx(0.90, abs=0.03)
 
 
 @pytest.mark.skipif((os.cpu_count() or 1) < 4, reason="needs >= 4 cores")
