@@ -202,6 +202,108 @@ def test_png_roundtrip_and_cli(tmp_path):
                  "-o", str(tmp_path)]) == 2
 
 
+def test_ktx_round_trips_through_independent_reader():
+    """Round-trip every target's mip chain through tests/ktx1_reader.py - an
+    independent spec-first KTX 1.1 parser with strict structural validation
+    (header field consistency, derived per-level imageSize, mip padding,
+    exact file coverage) - and compare payloads byte-for-byte (round-4
+    verdict item 6; the KTX2 reader round-trip is the model)."""
+    from basisu_rs_tpu import (
+        read_to_astc,
+        read_to_bc7,
+        read_to_etc1,
+        read_to_etc2,
+        read_to_rgba,
+    )
+    from tests.ktx1_reader import read_ktx1
+
+    buf = _basis_with_mips()
+    for target, reader in (
+        ("bc7", read_to_bc7),
+        ("astc", read_to_astc),
+        ("etc1", read_to_etc1),
+        ("etc2", read_to_etc2),
+        ("rgba", read_to_rgba),
+    ):
+        images = reader(buf)
+        if target == "rgba":
+            images = images[1]
+        for chain in (images[:2], [images[2]]):  # 8x8+4x4 mips; 3x3 crop
+            parsed = read_ktx1(write_ktx(chain, target))
+            assert (parsed.width, parsed.height) == (chain[0].w, chain[0].h)
+            assert len(parsed.levels) == len(chain)
+            assert parsed.n_faces == 1
+            for lvl, img in enumerate(chain):
+                if target == "rgba":
+                    data = np.asarray(img.data, np.uint8)
+                    expect = b"".join(
+                        data[y * img.stride : y * img.stride + 4 * img.w].tobytes()
+                        for y in range(img.h)
+                    )
+                else:
+                    expect = np.asarray(img.data, np.uint8).tobytes()
+                assert parsed.levels[lvl] == expect, (target, lvl)
+
+
+def test_ktx_reader_rejects_corruption():
+    """The independent KTX1 reader's validation actually bites: flip
+    structural fields and expect rejection."""
+    from basisu_rs_tpu import read_to_bc7
+    from tests.ktx1_reader import read_ktx1
+
+    images = read_to_bc7(_basis_with_mips())
+    blob = bytearray(write_ktx(images[:2], "bc7"))
+    read_ktx1(bytes(blob))  # sanity: intact file parses
+
+    bad = blob.copy()
+    bad[0] ^= 1  # identifier
+    with pytest.raises(ValueError, match="identifier"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 12, 0x01020304)  # byte-swapped endianness
+    with pytest.raises(ValueError, match="big-endian"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 12, 0xDEADBEEF)  # garbage endianness
+    with pytest.raises(ValueError, match="endianness"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 16, 0x1401)  # glType on a compressed texture
+    with pytest.raises(ValueError, match="glType"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 16 + 4 * 4, 0x1907)  # wrong base format for BC7
+    with pytest.raises(ValueError, match="glBaseInternalFormat"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    ofs = 12 + 13 * 4
+    (sz,) = struct.unpack_from("<I", bad, ofs)
+    struct.pack_into("<I", bad, ofs, sz - 16)  # corrupt level 0 imageSize
+    with pytest.raises(ValueError, match="imageSize"):
+        read_ktx1(bytes(bad))
+
+    with pytest.raises(ValueError, match="trailing"):
+        read_ktx1(bytes(blob) + b"\x00" * 8)
+
+    with pytest.raises(ValueError, match="truncated|bounds"):
+        read_ktx1(bytes(blob[:-8]))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 16 + 8 * 4, 3)  # numberOfArrayElements
+    with pytest.raises(ValueError, match="non-array"):
+        read_ktx1(bytes(bad))
+
+    bad = blob.copy()
+    struct.pack_into("<I", bad, 16 + 9 * 4, 2)  # numberOfFaces
+    with pytest.raises(ValueError, match="numberOfFaces"):
+        read_ktx1(bytes(bad))
+
+
 def test_cli_transcode_ktx(tmp_path):
     from basisu_rs_tpu.__main__ import main
 
