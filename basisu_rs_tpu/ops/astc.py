@@ -32,9 +32,9 @@ def _mode8_to_astc(lanes):
     rgba = decode_mode8_rgba(lanes)
     shape = rgba[0].shape
     w = LaneWriter(shape, 4)
-    w.put(jnp.full(shape, 0b1101_1111_1100, U32), 0, 12)
-    w.put(jnp.full(shape, 0x000F_FFFF, U32), 12, 20)
-    w.put(jnp.full(shape, 0xFFFF_FFFF, U32), 32, 32)
+    w.put_const(0b1101_1111_1100, 0, 12)
+    w.put_const(0x000F_FFFF, 12, 20)
+    w.put_const(0xFFFF_FFFF, 32, 32)
     ofs = 64
     for c in range(4):
         v = rgba[c].astype(U32)
@@ -89,7 +89,7 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
 
     # ---- header (astc.rs:80-96) ----
     block_mode_13 = int(t["UASTC_TO_ASTC_BLOCK_MODE_13"][cfg.id])
-    writer.put(jnp.full(shape, block_mode_13, U32), 0, 13)
+    writer.put_const(block_mode_13, 0, 13)
     ofs = 13
     fam = get_family(cfg)
     if fam is not None and cfg.id != 1:
@@ -97,7 +97,7 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
         writer.put(idx10, ofs, 10)
         ofs += 10 + 2  # +2 zero bits: all endpoints share one CEM
     cem = {RGB: 8, RGBA: 12, LA: 4}[cfg.format]
-    writer.put(jnp.full(shape, cem, U32), ofs, 4)
+    writer.put_const(cem, ofs, 4)
     ofs += 4
 
     # ---- endpoints in ASTC integer sequence encoding (astc.rs:98-141) ----

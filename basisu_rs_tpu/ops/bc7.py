@@ -18,8 +18,8 @@ import numpy as np
 from ..tables import (
     BC7_MODES,
     ModeCfg,
-    bc7_mode_5_optimal_endpoints,
-    bc7_mode_6_optimal_endpoints,
+    bc7_mode_5_optimal_packed,
+    bc7_mode_6_optimal_packed,
     get_family,
     np_tables,
 )
@@ -76,42 +76,67 @@ def _fold_add_f32(terms):
     return acc
 
 
+# Direct mul-shift forms of the two p-candidate quantizations, per
+# total_bits tb with iscalep = 2^tb - 1:
+#   q1 = floor(e*iscalep/510)         = (e*K1) >> S1
+#   q0 = floor((e*iscalep + 255)/510) = (e*K0 + B0) >> S0
+# exhaustively pinned over e in 0..255 for every tb by tests/test_tables.py
+# (products int31-safe).  Entries: tb -> ((K1, S1), (K0, B0, S0)).
+_XQ_MULSHIFT = {
+    4: ((1928, 16), (1928, 32765, 16)),
+    5: ((3983, 16), (3984, 32765, 16)),
+    6: ((8096, 16), (8096, 32765, 16)),
+    7: ((16320, 16), (16320, 32765, 16)),
+    8: ((32768, 16), (32768, 32768, 16)),
+}
+
+# floor((e*mask + 127)/255) = (e*K + B) >> S per endpoint width, for the
+# no-p-bit scale path (bc7.rs:262-272); pinned in test_tables.
+_SCALE_EP_MULSHIFT = {
+    4: (962, 8156, 14),
+    5: (1992, 8156, 14),
+    6: (4048, 8156, 14),
+    7: (8160, 8156, 14),
+}
+
+
 def _xq_pair(total_bits: int, e):
-    """Both p-candidates' quantized x values for endpoint byte e, gather-free.
+    """Both p-candidates' quantized values for endpoint byte e, as CLAMPED
+    HALF-values (q0c, q1c) with x0 = 2*q0c and x1 = 2*q1c + 1, gather-free.
 
     The reference's f32 quantization x = clamp(trunc((fl(e/255)*scalep - p)/2
     + 0.5)*2 + p, ...) (bc7.rs:437-441, 506-516) is exactly x = clamp(
     2*floor((e*iscalep + 255 - 255p)/510) + p, p, iscalep-1+p) for every
-    (total_bits, p, e) - pinned exhaustively by tests/test_tables.py.
-    floor(n/510) = floor((n>>1)/255) = ((n>>1)*32897)>>23 for n <= 65280
-    (int31-safe), so the whole search is a handful of ALU ops with no table
-    lookups - gathers are the expensive op on the VPU."""
-    iscalep = mask(total_bits)
-    m = e * iscalep  # shared by both candidates: n0 = m + 255, n1 = m
-    q0 = ((((m + 255) >> 1) * 32897) >> 23).astype(I32)
-    q1 = (((m >> 1) * 32897) >> 23).astype(I32)
-    x0 = jnp.minimum(2 * q0, iscalep - 1)
-    x1 = jnp.minimum(2 * q1 + 1, iscalep)
-    return x0, x1
+    (total_bits, p, e); the floors collapse to single mul-shifts on e
+    (_XQ_MULSHIFT, pinned in tests/test_tables.py).  Since iscalep is odd,
+    the clamps commute with halving (min(2q, iscalep-1) = 2*min(q, h) and
+    min(2q+1, iscalep) = 2*min(q, h) + 1 for h = iscalep >> 1), so x is
+    never materialized: emission wants the half-values and _scaled_half
+    re-derives the 8-bit replication from them directly."""
+    (K1, S1), (K0, B0, S0) = _XQ_MULSHIFT[total_bits]
+    h = mask(total_bits) >> 1
+    q0c = jnp.minimum((e * K0 + B0) >> S0, h).astype(I32)
+    q1c = jnp.minimum((e * K1) >> S1, h).astype(I32)
+    return q0c, q1c
 
 
-def _scaled(total_bits: int, x, xmax: int = 256):
-    """Bit-replicate x to 8 bits.  xmax: static exclusive bound on x - the
-    u8-wrap AND is only live when x << (8 - total_bits) can reach 256
-    (the p=1 candidate tops out at iscalep + 1; p=0 at iscalep - 1)."""
+def _scaled_half(total_bits: int, qc, p: int):
+    """Bit-replicate x = 2*qc + p to 8 bits without materializing x.
+    x <= iscalep, so x << (8 - total_bits) <= 256 - 2^(8-total_bits) never
+    wraps u8 (bc7.rs:522's wrapping_shr(8) is a no-op at total_bits = 8)."""
     if total_bits < 8:
-        s0 = x << (8 - total_bits)
-        if (xmax - 1) << (8 - total_bits) > 0xFF:
-            s0 = s0 & 0xFF
+        s0 = qc << (9 - total_bits)
+        if p:
+            s0 = s0 | (1 << (8 - total_bits))
         return s0 | (s0 >> total_bits)
-    return x  # u8 wrapping_shr(8) is a no-op (bc7.rs:522)
+    return (qc << 1) | p if p else qc << 1
 
 
 def _select_quantized(xpairs, pb, total_comps):
     m = pb == 1  # hoisted: one compare shared across channels
+    # xpairs hold half-values: exactly the (x >> 1) the emission wants
     sel = [
-        (jnp.where(m, xpairs[c][1], xpairs[c][0]) >> 1).astype(I32)
-        for c in range(total_comps)
+        jnp.where(m, xpairs[c][1], xpairs[c][0]) for c in range(total_comps)
     ]
     # untouched channels are never emitted (emission loops over cc only)
     return sel + [jnp.zeros_like(sel[0])] * (4 - total_comps)
@@ -128,9 +153,9 @@ def determine_unique_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     for p in (0, 1):
         el = eh = 0
         for c in range(total_comps):
-            a = _scaled(tb, x_lo[c][p], mask(tb) + 1) - e_lo[c]
+            a = _scaled_half(tb, x_lo[c][p], p) - e_lo[c]
             el = el + a * a
-            b = _scaled(tb, x_hi[c][p], mask(tb) + 1) - e_hi[c]
+            b = _scaled_half(tb, x_hi[c][p], p) - e_hi[c]
             eh = eh + b * b
         errs[p] = (el, eh)
     pb_lo = (errs[1][0] < errs[0][0]).astype(I32)
@@ -161,8 +186,8 @@ def determine_shared_pbits(total_comps: int, comp_bits: int, e_lo, e_hi):
     for p in (0, 1):
         terms = []
         for c in range(total_comps):
-            bl = fl_div255(_scaled(tb, x_lo[c][p], mask(tb) + 1)) - fv_lo[c]
-            bh = fl_div255(_scaled(tb, x_hi[c][p], mask(tb) + 1)) - fv_hi[c]
+            bl = fl_div255(_scaled_half(tb, x_lo[c][p], p)) - fv_lo[c]
+            bh = fl_div255(_scaled_half(tb, x_hi[c][p], p)) - fv_hi[c]
             terms.append(bl * bl + bh * bh)
         errs[p] = _fold_add_f32(terms)
     sb = (errs[1] < errs[0]).astype(I32)
@@ -189,45 +214,46 @@ def _mode8_to_bc7(lanes):
     use5 = (err0 > 0) & (err1 > 0)
     best_p = (err1 < err0).astype(I32)
 
-    m5 = bc7_mode_5_optimal_endpoints()  # [256, 2]
-    m6 = bc7_mode_6_optimal_endpoints()  # [257, 2]
+    # packed (lo | hi << 7) endpoint tables: the packed word IS the emission
+    # bit layout (lo at +0, hi at +7), so each channel costs ONE gather and
+    # ONE 14-bit deposit - gathers are the expensive op on the VPU and the
+    # two-gather-two-put form dominated this kernel's op count
+    m5p = bc7_mode_5_optimal_packed()  # [256]
+    m6p = bc7_mode_6_optimal_packed()  # [257]
 
     # --- mode 5 layout: 6 mode bits, 2 rotation, 3x7x2 color, 8x2 alpha,
     #     2x(1+15x2) weights
     w5 = LaneWriter(shape, 4)
-    w5.put(jnp.full(shape, 1 << 5, U32), 0, 6)
+    w5.put_const(1 << 5, 0, 6)
     ofs = 8  # rotation bits are 0
     for c in range(3):
-        w5.put(_take(m5[:, 0], rgba[c]), ofs, 7)
-        w5.put(_take(m5[:, 1], rgba[c]), ofs + 7, 7)
+        w5.put(_take(m5p, rgba[c]), ofs, 14)
         ofs += 14
-    w5.put(rgba[3], ofs, 8)
-    w5.put(rgba[3], ofs + 8, 8)
+    w5.put(rgba[3] * 0x101, ofs, 16)  # alpha lo == hi: both bytes, one put
     ofs += 16
-    # color weights: all BC7ENC_MODE_5_OPTIMAL_INDEX (=1)
-    w5.put(jnp.full(shape, 1, U32), ofs, 1)
+    # color weights: all BC7ENC_MODE_5_OPTIMAL_INDEX (=1) - constant bits
+    w5.put_const(1, ofs, 1)
     ofs += 1
     for _ in range(15):
-        w5.put(jnp.full(shape, 1, U32), ofs, 2)
+        w5.put_const(1, ofs, 2)
         ofs += 2
     # alpha weights: all 0 (nothing to write)
 
     # --- mode 6 layout: 7 mode bits, 4x7x2 endpoints, 2 p-bits, 1x(3+15x4)
     idx6 = best_p  # table index c + (1 - p)  (bc7.rs:1126-1131)
     w6 = LaneWriter(shape, 4)
-    w6.put(jnp.full(shape, 1 << 6, U32), 0, 7)
+    w6.put_const(1 << 6, 0, 7)
     ofs = 7
     for c in range(4):
         i = rgba[c] + (1 - idx6)
-        w6.put(_take(m6[:, 0], i), ofs, 7)
-        w6.put(_take(m6[:, 1], i), ofs + 7, 7)
+        w6.put(_take(m6p, i), ofs, 14)
         ofs += 14
-    w6.put((best_p << 1) | best_p, ofs, 2)
+    w6.put(best_p * 3, ofs, 2)  # (p << 1) | p
     ofs += 2
-    w6.put(jnp.full(shape, 5, U32), ofs, 3)
+    w6.put_const(5, ofs, 3)
     ofs += 3
     for _ in range(15):
-        w6.put(jnp.full(shape, 5, U32), ofs, 4)
+        w6.put_const(5, ofs, 4)
         ofs += 4
 
     # select per word (keeps tensors 2-D for the Pallas/Mosaic path)
@@ -266,7 +292,7 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
         ]
 
     writer = LaneWriter(shape, 4)
-    writer.put(jnp.full(shape, 1 << bc7_idx, U32), 0, bc7_idx + 1)
+    writer.put_const(1 << bc7_idx, 0, bc7_idx + 1)
     ofs = bc7_idx + 1
 
     nsub7 = bm.subset_count
@@ -399,12 +425,14 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
     else:
         def scale_ep(e, nbits):
             # (e*mask + 127) // 255 (bc7.rs:262-272).  mask==255 is the
-            # identity; otherwise n <= 255*127+127 = 32512+127 < 32641, where
-            # floor(n/255) == (n*32897)>>23 in int32 (pinned in test_tables).
+            # identity; otherwise the whole round-scale collapses to ONE
+            # mul-add-shift on e: (e*K + B) >> S with per-width constants
+            # pinned exhaustively in test_tables
+            # (test_scale_ep_mulshift_exhaustive); products int31-safe.
             if nbits == 8:
                 return e
-            n = e * mask(nbits) + 127
-            return ((n * 32897) >> 23).astype(I32)
+            K, B, S = _SCALE_EP_MULSHIFT[nbits]
+            return ((e * K + B) >> S).astype(I32)
 
         for j in range(nsub7):
             for c in range(3):
@@ -415,11 +443,12 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
                 e_hi[j][3] = scale_ep(e_hi[j][3], bm.alpha_bits)
 
     # ---- endpoint emission (bc7.rs:276-286) ----
+    # lo and hi are adjacent fields and both < 2^bits (quantized/scaled
+    # above), so each pair packs into ONE deposit
     for c in range(cc):
         bits = bm.color_bits if c != 3 else bm.alpha_bits
         for j in range(nsub7):
-            writer.put(e_lo[j][c], ofs, bits)
-            writer.put(e_hi[j][c], ofs + bits, bits)
+            writer.put(e_lo[j][c] | (e_hi[j][c] << bits), ofs, 2 * bits)
             ofs += 2 * bits
 
     if bm.p_bits:
@@ -434,11 +463,24 @@ def uastc_to_bc7_mode(cfg: ModeCfg, lanes):
     # Anchor texels are stored with one less bit; inversion guarantees their
     # MSB is 0, so depositing the full wb7-bit value never overlaps.
     if nsub7 == 1:
+        # Weights are adjacent fields and in-range (remap ranges pinned in
+        # test_tables::test_bc7_weight_remap_range; the anchor's missing MSB
+        # is statically zero, test_bc7_anchor_msb_statically_zero), so pack
+        # up to 32 bits of them per deposit: one shift+or per extra weight
+        # replaces a whole masked put.
         for plane_w in w:
+            group, gofs, gbits = None, 0, 0
             for i in range(16):
                 bits_i = wb7 - 1 if i == 0 else wb7
-                writer.put(plane_w[i], ofs, bits_i)
+                if group is not None and gbits + bits_i <= 32:
+                    group = group | (plane_w[i].astype(U32) << U32(gbits))
+                    gbits += bits_i
+                else:
+                    if group is not None:
+                        writer.put(group, gofs, gbits)
+                    group, gofs, gbits = plane_w[i].astype(U32), ofs, bits_i
                 ofs += bits_i
+            writer.put(group, gofs, gbits)
     else:
         from ..tables import fam_bc7_anchors_before, fam_bc7_weight_preshift_packed
 

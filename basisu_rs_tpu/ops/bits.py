@@ -141,7 +141,28 @@ class LaneWriter:
 
     def __init__(self, shape, word_count: int):
         self.W = word_count
-        self.lanes = [jnp.zeros(shape, U32) for _ in range(word_count)]
+        self.shape = shape
+        # lanes materialize lazily: the first deposit into a word IS the
+        # word (no OR against an initial zeros plane), and constant bits
+        # accumulate in a Python int per word (put_const), folded in with
+        # ONE scalar OR per touched word when .lanes is read.
+        self._lanes = [None] * word_count
+        self._const = [0] * word_count
+
+    @property
+    def lanes(self):
+        out = []
+        for l, c in zip(self._lanes, self._const):
+            if l is None:
+                out.append(
+                    jnp.full(self.shape, c, U32) if c else jnp.zeros(self.shape, U32)
+                )
+            else:
+                out.append(l | U32(c) if c else l)
+        return out
+
+    def _or(self, w: int, expr) -> None:
+        self._lanes[w] = expr if self._lanes[w] is None else self._lanes[w] | expr
 
     # -- static offset ------------------------------------------------------
     def put(self, value, offset: int, count: int) -> None:
@@ -151,9 +172,23 @@ class LaneWriter:
         value = value.astype(U32) & U32(mask(count)) if count < 32 else value.astype(U32)
         w, b = offset // 32, offset % 32
         if w < self.W:
-            self.lanes[w] = self.lanes[w] | (value << U32(b))
+            self._or(w, value << U32(b))
         if b + count > 32 and w + 1 < self.W:
-            self.lanes[w + 1] = self.lanes[w + 1] | (value >> U32(32 - b))
+            self._or(w + 1, value >> U32(32 - b))
+
+    def put_const(self, value: int, offset: int, count: int) -> None:
+        """Static bits at a static offset: zero traced ops per call - the
+        bits land in the per-word Python accumulator (mode/markers/constant
+        weights used to cost a jnp.full + shift + OR each)."""
+        if count == 0:
+            return
+        assert count <= 32
+        value &= mask(count) if count < 32 else 0xFFFFFFFF
+        w, b = offset // 32, offset % 32
+        if w < self.W:
+            self._const[w] |= (value << b) & 0xFFFFFFFF
+        if b + count > 32 and w + 1 < self.W:
+            self._const[w + 1] |= value >> (32 - b)
 
     # -- dynamic offset -----------------------------------------------------
     def put_dyn(self, value, offset, count: int, bit_range=None) -> None:
@@ -171,14 +206,14 @@ class LaneWriter:
         lo = value << b
         hi = jnp.where(b == 0, U32(0), value >> ((U32(32) - b) & U32(31)))
         if wlo == whi:
-            self.lanes[wlo] = self.lanes[wlo] | lo
+            self._or(wlo, lo)
             if wlo + 1 < self.W:
-                self.lanes[wlo + 1] = self.lanes[wlo + 1] | hi
+                self._or(wlo + 1, hi)
             return
         for k in range(wlo, min(whi + 1, self.W)):
-            self.lanes[k] = self.lanes[k] | jnp.where(w == k, lo, U32(0))
+            self._or(k, jnp.where(w == k, lo, U32(0)))
         for k in range(wlo + 1, min(whi + 2, self.W)):
-            self.lanes[k] = self.lanes[k] | jnp.where(w == k - 1, hi, U32(0))
+            self._or(k, jnp.where(w == k - 1, hi, U32(0)))
 
     def stack(self):
         return jnp.stack(self.lanes, axis=-1)

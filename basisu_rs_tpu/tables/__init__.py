@@ -36,6 +36,8 @@ from .bc7_tables import (
     Bc7Mode,
     bc7_mode_5_optimal_endpoints,
     bc7_mode_6_optimal_endpoints,
+    bc7_mode_5_optimal_packed,
+    bc7_mode_6_optimal_packed,
     pbit_luts,
 )
 
@@ -61,6 +63,8 @@ __all__ = [
     "UASTC_BLOCK_SIZE",
     "bc7_mode_5_optimal_endpoints",
     "bc7_mode_6_optimal_endpoints",
+    "bc7_mode_5_optimal_packed",
+    "bc7_mode_6_optimal_packed",
     "etc_bias_deltas",
     "get_family",
     "np_tables",

@@ -82,17 +82,17 @@ def test_shared_pbit_terms_match_reference_luts():
     (fl(scaled/255) - fl(v/255))^2 equals the reference-transcribed LUT value
     bitwise.  Term-level equality implies identical folds and decisions for
     every possible input combination."""
-    from basisu_rs_tpu.ops.bc7 import _scaled, _xq_pair
+    from basisu_rs_tpu.ops.bc7 import _scaled_half, _xq_pair
 
     v = jnp.arange(256, dtype=jnp.int32).reshape(2, 128)
 
     def terms(v):
         out = []
         for tb in range(4, 9):
-            x0, x1 = _xq_pair(tb, v)
+            q0c, q1c = _xq_pair(tb, v)  # clamped half-values (x = 2q + p)
             fv = fl_div255(v)
-            for p, x in ((0, x0), (1, x1)):
-                b = fl_div255(_scaled(tb, x)) - fv
+            for p, qc in ((0, q0c), (1, q1c)):
+                b = fl_div255(_scaled_half(tb, qc, p)) - fv
                 out.append(b * b)
         return out
 

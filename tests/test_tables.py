@@ -147,6 +147,52 @@ def test_crc16_known_answers():
     assert crc16(b"") == 0
 
 
+def test_xq_mulshift_constants_exhaustive():
+    """Exhaustive proof behind _XQ_MULSHIFT (ops/bc7.py): for every
+    total_bits and endpoint byte e, the single mul-shifts on e reproduce
+    q1 = floor(e*iscalep/510) and q0 = floor((e*iscalep + 255)/510), the
+    clamps commute with halving (iscalep odd), and the clamped half-values
+    equal the reference-derived p-bit LUTs (pbit_luts) directly - so x is
+    never materialized in the search."""
+    import numpy as np
+
+    from basisu_rs_tpu.ops.bc7 import _XQ_MULSHIFT
+    from basisu_rs_tpu.tables.bc7_tables import pbit_luts
+
+    e = np.arange(256, dtype=np.int64)
+    for tb, ((K1, S1), (K0, B0, S0)) in _XQ_MULSHIFT.items():
+        isc = (1 << tb) - 1
+        m = e * isc
+        np.testing.assert_array_equal((e * K1) >> S1, m // 510)
+        np.testing.assert_array_equal((e * K0 + B0) >> S0, (m + 255) // 510)
+        assert e[-1] * K0 + B0 < 2**31 and e[-1] * K1 < 2**31  # int32-safe
+        h = isc >> 1
+        q0c = np.minimum((e * K0 + B0) >> S0, h)
+        q1c = np.minimum((e * K1) >> S1, h)
+        # clamp/halving commutation: x0 = 2*q0c, x1 = 2*q1c + 1
+        np.testing.assert_array_equal(2 * q0c, np.minimum(2 * ((m + 255) // 510), isc - 1))
+        np.testing.assert_array_equal(2 * q1c + 1, np.minimum(2 * (m // 510) + 1, isc))
+        # ...and the half-values ARE the reference LUTs' x >> 1
+        xq, _, _ = pbit_luts(tb)
+        np.testing.assert_array_equal(q0c, xq[0])
+        np.testing.assert_array_equal(q1c, xq[1])
+
+
+def test_scale_ep_mulshift_exhaustive():
+    """Exhaustive proof behind _SCALE_EP_MULSHIFT (ops/bc7.py): for every
+    endpoint width and byte e, (e*K + B) >> S == floor((e*mask + 127)/255)
+    (bc7.rs:262-272), with int31-safe products."""
+    import numpy as np
+
+    from basisu_rs_tpu.ops.bc7 import _SCALE_EP_MULSHIFT
+
+    e = np.arange(256, dtype=np.int64)
+    for nbits, (K, B, S) in _SCALE_EP_MULSHIFT.items():
+        msk = (1 << nbits) - 1
+        np.testing.assert_array_equal((e * K + B) >> S, (e * msk + 127) // 255)
+        assert e[-1] * K + B < 2**31
+
+
 def test_pbit_unique_error_terms_are_integers():
     """Exhaustive proof backing the int32 unique-p-bit search (ops/bc7.py):
     for every total_bits, p and endpoint byte v, the reference's f32 error
