@@ -138,24 +138,26 @@ def uastc_to_astc_mode(cfg: ModeCfg, lanes):
     # ---- weights, bit-reversed from the end (astc.rs:143-178) ----
     # The k-th decoded weight lands at bits [128-(k+1)*wb, 128-k*wb), with its
     # wb bits reversed; inverted (!w) when its texel's subset was swapped.
+    # Inversion as a per-texel XOR mask (inv * wmask, hoisted per subset):
+    # wv ^ m replaces the not/and/select chain at one op per weight.
+    wmask = mask(wb)
     if cfg.subset_count == 1:
-        inv_w = [invert[0]] * 16
+        m0 = invert[0].astype(I32) * wmask
+        inv_m = [m0] * 16
     else:
         subsets = subsets_for_texels(cfg, pat)
-        inv_stack = [invert[s].astype(I32) for s in range(cfg.subset_count)]
-        inv_w = []
+        inv_stack = [invert[s].astype(I32) * wmask for s in range(cfg.subset_count)]
+        inv_m = []
         for i in range(16):
             v = inv_stack[0]
             for s in range(1, cfg.subset_count):
                 v = jnp.where(subsets[i] == s, inv_stack[s], v)
-            inv_w.append(v.astype(bool))
+            inv_m.append(v)
 
-    wmask = mask(wb)
     n_weights = 16 * cfg.plane_count
     for k in range(n_weights):
         texel = k // cfg.plane_count
-        wv = weights[k]
-        wv = jnp.where(inv_w[texel], (~wv) & wmask, wv)
+        wv = weights[k] ^ inv_m[texel]
         writer.put(bitrev(wv.astype(U32), wb), 128 - (k + 1) * wb, wb)
 
     if cfg.plane_count != 1:

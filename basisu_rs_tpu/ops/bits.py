@@ -220,7 +220,32 @@ class LaneWriter:
 
 
 def bitrev(value, count: int):
-    """Reverse the low `count` bits of `value` (count static, <= 8)."""
+    """Reverse the low `count` bits of `value` (count static, <= 8).
+    High bits of `value` are ignored.  Closed per-count forms: the generic
+    per-bit loop costs 4 ops/bit, which dominated ASTC weight emission
+    (16-32 reversals per block)."""
+    v = value
+    if count == 1:
+        return v & U32(1)
+    if count == 2:
+        return ((v & U32(1)) << U32(1)) | ((v >> U32(1)) & U32(1))
+    if count == 3:
+        return ((v & U32(1)) << U32(2)) | (v & U32(2)) | ((v >> U32(2)) & U32(1))
+    if count == 4:
+        return (
+            ((v & U32(1)) << U32(3))
+            | ((v & U32(2)) << U32(1))
+            | ((v >> U32(1)) & U32(2))
+            | ((v >> U32(3)) & U32(1))
+        )
+    if count == 5:
+        return (
+            ((v & U32(1)) << U32(4))
+            | ((v & U32(2)) << U32(2))
+            | (v & U32(4))
+            | ((v >> U32(2)) & U32(2))
+            | ((v >> U32(4)) & U32(1))
+        )
     out = jnp.zeros_like(value)
     for i in range(count):
         out = out | (((value >> U32(i)) & U32(1)) << U32(count - 1 - i))
