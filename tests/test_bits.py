@@ -113,6 +113,18 @@ def test_bitrev():
     assert int(bitrev(v, 5)[0]) == 0b01101
 
 
+def test_bitrev_closed_forms_exhaustive():
+    """The per-count closed forms (batch 4) equal the generic per-bit loop
+    for every 8-bit input and every count 1..8 - including inputs with
+    garbage bits above `count`, which both forms must ignore."""
+    v = jnp.asarray(np.arange(256, dtype=np.uint32))
+    for count in range(1, 9):
+        ref = np.zeros(256, np.uint32)
+        for i in range(count):
+            ref |= (((np.arange(256) >> i) & 1) << (count - 1 - i)).astype(np.uint32)
+        np.testing.assert_array_equal(np.asarray(bitrev(v, count)), ref, err_msg=f"count={count}")
+
+
 def test_lane_byte_round_trip():
     rng = np.random.default_rng(1)
     b = rng.integers(0, 256, size=(5, 16), dtype=np.uint8)
