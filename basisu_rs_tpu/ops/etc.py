@@ -194,15 +194,27 @@ def write_etc2_alpha_block(etc2tm, texels):
     order = (3, 2, 1, 0, 4, 5, 6, 7)
     W = [values[p] for p in order]
     S = [W[k - 1] + W[k] for k in range(1, 8)]
-    # duplicate-run fixup masks, hoisted per block: everything collapses to
-    # j = 0 when mult == 0 (all eight candidates equal), and ranks <= 4
-    # additionally collapse when W3 == W4 (center == 0 with modifier 0)
-    zm_hi = jnp.where(mult == 0, 0, 7)
-    zm_lo = jnp.where((mult == 0) | (W[3] == W[4]), 0, 7)
     # pre-halved thresholds fold the per-texel doubling (a2 = 2a) into the
     # per-block midpoints: 2a >= S  <=>  a >= (S+1)>>1,  2a > S  <=>
     # a >= (S+2)>>1 (S >= 0)
     T = [(S[k] + 1) >> 1 for k in (0, 1, 2)] + [(S[k] + 2) >> 1 for k in (3, 4, 5, 6)]
+    # Duplicate-run fixup folded INTO the thresholds (per BLOCK) instead of
+    # a 4-op mask chain per texel: the two collapse shapes force rank 3
+    # (which maps to j = 0) for every affected alpha.
+    # - mult == 0 (all eight candidates equal): T[0..2] := 0 (a >= 0 always,
+    #   rank >= 3) and T[3..6] := 256 (never hit, rank <= 3).
+    # - W3 == W4 (center == 0 with modifier 0: candidates j = 0..4 equal, so
+    #   min_by_key's first-j rule gives j = 0 below the rank-5 threshold):
+    #   T[0..2] := 0 and T[3] := T[4], making rank 4 unreachable and ranks
+    #   0..3 collapse to 3, while ranks 5..7 keep their thresholds.
+    # Exhaustive equivalence with the reference min_by_key (all table x
+    # mult x center x alpha) is pinned in tests/test_tables.py.
+    kill_all = mult == 0
+    kill_lo = kill_all | (W[3] == W[4])
+    T = [jnp.where(kill_lo, 0, T[k]) for k in (0, 1, 2)] + T[3:]
+    for k in (4, 5, 6):
+        T[k] = jnp.where(kill_all, 256, T[k])
+    T[3] = jnp.where(kill_lo, T[4], T[3])
 
     # Selector bits accumulate at their NATURAL big-endian positions in a
     # logical 48-bit payload (vh = bits 32..47, vl = bits 0..31), then ONE
@@ -225,11 +237,9 @@ def write_etc2_alpha_block(etc2tm, texels):
         b0 = a >= t0
         u = (b1.astype(I32) << 1) | b0.astype(I32)
         # rank->candidate map b2 ? 4 + u : 3 - u collapses to u ^ (3 + b2):
-        # 3 - u == u ^ 3 for u in 0..3, and 4 + u == u ^ 4
-        best_j = u ^ (3 + b2.astype(I32))
-        # duplicate-run fixup via the hoisted AND masks: rank > 4 is
-        # b2 & (u != 0); ranks <= 4 use zm_lo (which adds the W3 == W4 kill)
-        best_j = (best_j & jnp.where(b2 & (u != 0), zm_hi, zm_lo)).astype(U32)
+        # 3 - u == u ^ 3 for u in 0..3, and 4 + u == u ^ 4.  The duplicate-
+        # run collapses are already folded into the thresholds above.
+        best_j = (u ^ (3 + b2.astype(I32))).astype(U32)
         # transposed pixel order (etc.rs:325-327)
         x, y = i // 4, i % 4
         pid = y * 4 + x

@@ -310,6 +310,24 @@ def test_eac_rank_selector_matches_packed_min():
             bs = np.where(zero, 0, bs)
             np.testing.assert_array_equal(bs, ref_j, err_msg=f"bsearch table {t} mult {mult}")
 
+            # the SHIPPED round-5 form: duplicate-run fixups folded into the
+            # per-block thresholds (T[0..2] := 0 and T[3] := T[4] when the
+            # low ranks collapse; T[4..6] := 256 when mult == 0), forcing
+            # rank 3 (-> j = 0) with NO per-texel mask chain
+            kill_all = mult == 0
+            kill_lo = kill_all | (W[3] == W[4])
+            Tf = [np.where(kill_lo, 0, T[k]) for k in (0, 1, 2)] + list(T[3:])
+            for k in (4, 5, 6):
+                Tf[k] = np.where(kill_all, 256, Tf[k])
+            Tf[3] = np.where(kill_lo, Tf[4], Tf[3])
+            b2 = a >= Tf[3]
+            b1 = a >= np.where(b2, Tf[5], Tf[1])
+            t0 = np.where(b2, np.where(b1, Tf[6], Tf[4]), np.where(b1, Tf[2], Tf[0]))
+            b0 = a >= t0
+            u = (b1.astype(np.int64) << 1) | b0
+            got5 = u ^ (3 + b2.astype(np.int64))
+            np.testing.assert_array_equal(got5, ref_j, err_msg=f"folded table {t} mult {mult}")
+
 
 def test_astc_interpolate_factored_form():
     """Exhaustive proof for ops/uastc_decode.astc_interpolate: for all
