@@ -38,7 +38,12 @@ ROWS = 8  # legacy default; see rows_for_kind
 # rgba_alpha = 64: the fused pair kernel amortizes grid overhead over twice
 # the gathers; back-to-back sweep 16/32/64 gave 41.5/41.9/45.0 Gtex/s
 # (128 compiles pathologically - not a candidate)
-ROWS_BY_KIND = {"rgba": 32, "alpha": 32, "etc1": 16, "rgba_alpha": 64}
+# Round-5 on-chip retune (tools/autotune_tiles.py --rows 32,64,128 plus a
+# back-to-back aggregate A/B with _build.cache_clear() between runs - an
+# earlier A/B without the cache clear silently reused the old tiles):
+# rgba 74.9 -> 86.8 Gtex/s at 128 rows (+15.9%), etc1 105.0 -> 106.5; the
+# sweep puts alpha and the fused rgba_alpha at 128 as well (+1-8%).
+ROWS_BY_KIND = {"rgba": 128, "alpha": 128, "etc1": 128, "rgba_alpha": 128}
 
 
 def rows_for_kind(kind: str) -> int:

@@ -382,6 +382,32 @@ def sync_rtt_s(samples: int = 6) -> float:
     return min(ts)
 
 
+def launch_overhead_s(samples: int = 3, n: int = 24) -> float:
+    """Marginal host cost of ONE additional kernel enqueue (round-4 verdict
+    item 1's direct no-op-launch probe): a dependency chain of n trivial
+    jitted launches with one final sync, minus the 1-launch run, per extra
+    launch.  The mode-partitioned UASTC corpus dispatch pays this 19 times
+    per corpus, which is what bounds the pipelined rate on a TINY bench
+    corpus (device compute is ~us; a production-size corpus amortizes it
+    linearly)."""
+    f = jax.jit(lambda x: x + jnp.uint32(1))
+    x = jnp.zeros((8, 128), jnp.uint32)
+
+    def run(k):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(k):
+            y = f(y)
+        int(jnp.sum(y, dtype=jnp.uint32))
+        return time.perf_counter() - t0
+
+    run(n)  # compile + warm
+    best = float("inf")
+    for _ in range(samples):
+        best = min(best, max((run(n) - run(1)) / (n - 1), 1e-9))
+    return best
+
+
 def bench_corpus_device(n_files: int = 8, nbx: int = 128, nby: int = 128) -> dict:
     """End-to-end corpus pipeline rates with outputs kept DEVICE-RESIDENT:
     host parse + CRC (+ C++ ETC1S front-end) -> device kernels -> outputs
@@ -428,6 +454,13 @@ def bench_corpus_device(n_files: int = 8, nbx: int = 128, nby: int = 128) -> dic
 
     rates = {"sync_rtt_ms": round(sync_rtt_s() * 1e3, 1)}
     log(f"corpus-device sync RTT floor: {rates['sync_rtt_ms']:.1f} ms")
+    lo_ms = launch_overhead_s() * 1e3
+    rates["launch_overhead_ms"] = round(lo_ms, 2)
+    log(
+        f"corpus-device per-launch overhead: {lo_ms:.2f} ms/launch "
+        f"(x19 mode launches/corpus on the UASTC path: "
+        f"~{19 * lo_ms:.0f} ms of the pipelined marginal is launch cost)"
+    )
     with tempfile.TemporaryDirectory() as td:
         uastc_paths, etc1s_paths = [], []
         for i in range(n_files):
@@ -717,8 +750,8 @@ def main() -> None:
         # end-to-end corpus pipeline (device-resident): DEFAULT since round 5
         # (round-4 verdict item 1) - sync + pipelined rates + RTT floor
         for key, r in bench_corpus_device().items():
-            if key == "sync_rtt_ms":
-                extra["corpus_device_sync_rtt_ms"] = r
+            if key.endswith("_ms"):
+                extra[f"corpus_device_{key}"] = r
             else:
                 extra[f"corpus_device_{key}_mtexels_s"] = round(r / 1e6, 1)
 

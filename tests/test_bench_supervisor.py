@@ -126,3 +126,11 @@ def test_default_budget_covers_observed_outages(monkeypatch):
         and n.args and getattr(n.args[0], "value", "") == "BENCH_TUNNEL_BUDGET_S"
     )
     assert call.args[1].value >= 3600 + 2700  # worst outage + one full run
+
+
+def test_launch_overhead_probe_is_finite_and_small():
+    """launch_overhead_s (the round-4 verdict item 1 per-launch probe) must
+    return a sane marginal enqueue cost on any backend: positive (it clamps
+    at 1e-9) and far below the per-corpus budget it is used to explain."""
+    lo = bench.launch_overhead_s(samples=2, n=6)
+    assert 0.0 < lo < 0.5
