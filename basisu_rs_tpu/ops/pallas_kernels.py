@@ -45,7 +45,12 @@ ROWS = 16  # default: 16 x 128 = 2048 blocks per grid step
 # Round-4 re-sweep after op-removal batches 1+2: BC7 moved to 64 rows
 # (0.226 vs 0.236 ns/blk probe-mix, every probe mode faster; aggregate
 # A/B'd same-session), etc1/etc2 stay at 32.
-ROWS_BY_TARGET = {"bc7": 64, "rgba": 32, "astc": 32, "etc1": 32, "etc2": 32}
+# Round-5 re-sweep after op-removal batches 3-5 (tools/ab_rows.py, paired
+# aggregate A/B in one process with the _tuned_rows cache cleared between
+# arms): astc 32->128 (84.1->87.7 at 64, 82.8->88.1 at 128: +6.4%), rgba
+# 32->64 (70.3->73.6, +4.7%; 128 regresses -3.1%), bc7 128 rejected
+# (-0.4%), etc1/etc2 stay at 32 per the round-5 single-mode sweep.
+ROWS_BY_TARGET = {"bc7": 64, "rgba": 64, "astc": 128, "etc1": 32, "etc2": 32}
 
 # Device kinds the shipped table was tuned on.  On any other TPU kind,
 # rows_for_target consults .jax_cache/tiles_<kind>.json (written by
