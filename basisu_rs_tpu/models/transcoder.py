@@ -228,11 +228,17 @@ class Etc1sMultiCorpusTranscoder:
 
         if not files:
             return []
+        # A zero-slice file contributes nothing to any launch (and an
+        # all-empty group would hit np.concatenate([]) in the batcher):
+        # answer [] for it and batch only the files with work.
+        work = [fw for fw in files if fw.slices]
+        if not work:
+            return [[] for _ in files]
         if self.target == "etc1":
-            groups = [(files, False)]
+            groups = [(work, False)]
         else:
-            with_a = [fw for fw in files if fw.alpha_slices is not None]
-            without_a = [fw for fw in files if fw.alpha_slices is None]
+            with_a = [fw for fw in work if fw.alpha_slices is not None]
+            without_a = [fw for fw in work if fw.alpha_slices is None]
             groups = [(g, bool(a)) for g, a in ((with_a, True), (without_a, False)) if g]
         groups = [
             (sub, with_alpha)
@@ -259,7 +265,7 @@ class Etc1sMultiCorpusTranscoder:
                     ofs += counts[k]
                     k += 1
                 out_by_id[id(fw)] = per_slice
-        return [out_by_id[id(fw)] for fw in files]
+        return [out_by_id[id(fw)] if fw.slices else [] for fw in files]
 
 
 class Etc1sCorpusTranscoder:

@@ -172,6 +172,32 @@ def test_multifile_etc1s_empty_and_selector_mismatch():
         assert "different dimensions" in str(e)
 
 
+def test_multifile_etc1s_zero_slice_files():
+    """A file with no slices answers [] (it must not reach the batcher's
+    np.concatenate), both alone and mixed with files that have work —
+    outputs for the working files are unaffected and stay in input order."""
+    from basisu_rs_tpu.models import (
+        Etc1sCorpusTranscoder,
+        Etc1sFileWork,
+        Etc1sMultiCorpusTranscoder,
+    )
+
+    rng = np.random.default_rng(11)
+    empty = Etc1sFileWork(
+        np.zeros((3, 4), np.uint8), np.zeros((3, 4), np.uint8), slices=[]
+    )
+    full = _rand_etc1s_file(rng, 9, 9, (8, 5), alpha=False)
+    for target in ("rgba", "etc1"):
+        tr = Etc1sMultiCorpusTranscoder(target)
+        assert tr.transcode_files([empty]) == [[]]
+        got = tr.transcode_files([empty, full, empty])
+        assert got[0] == [] and got[2] == []
+        want = Etc1sCorpusTranscoder(full.endpoints, full.selectors, target
+                                     ).transcode_slices(full.slices)
+        for g, w in zip(got[1], want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_multifile_etc1s_codebook_budget_split():
     """Launch groups are bounded by MAX_BATCH_CODEBOOK_ENTRIES: a corpus
     whose concatenated codebooks exceed the cap splits into several
