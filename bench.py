@@ -205,20 +205,32 @@ def bench_etc1s(n: int = 1 << 21, e: int = 2048, s: int = 2048) -> dict:
     ep_tab = jnp.asarray(pack_endpoints_np(endpoints))
     mods = jnp.asarray(bits.pad_table_for_kernel(_packed_mods_np()))
     rates = {}
+    sel_tab_rgba = jnp.asarray(pack_selectors_np(selectors))
+    # rgba_alpha consumes an (rgb, alpha) index-stream PAIR per output block
+    # (the fused one-launch kernel behind read_to_rgba's alpha pairing).
+    a_ep_idx = rng.integers(0, e, n).astype(np.int32)
+    a_sel_idx = rng.integers(0, s, n).astype(np.int32)
     for kind, tab in (
-        ("rgba", jnp.asarray(pack_selectors_np(selectors))),
+        ("rgba", sel_tab_rgba),
+        ("rgba_alpha", sel_tab_rgba),
         ("etc1", jnp.asarray(pack_wire_np(selector_wire_words_np(selectors)))),
     ):
         tile = rows_for_kind(kind) * EL
         n_pad = ((n + tile - 1) // tile) * tile
         epi = jnp.asarray(np.resize(ep_idx, n_pad).reshape(-1, EL))
         seli = jnp.asarray(np.resize(sel_idx, n_pad).reshape(-1, EL))
+        extra = ()
+        if kind == "rgba_alpha":
+            extra = (
+                jnp.asarray(np.resize(a_ep_idx, n_pad).reshape(-1, EL)),
+                jnp.asarray(np.resize(a_sel_idx, n_pad).reshape(-1, EL)),
+            )
         call = _build(kind, ep_tab.shape[0], tab.shape[0], n_pad // EL, False)
 
         @partial(jax.jit, static_argnums=2)
-        def chained(a, b, reps, call=call, tab=tab):
+        def chained(a, b, reps, call=call, tab=tab, extra=extra):
             def body(i, c):
-                outs = call(ep_tab, tab, a ^ (c & 1023), b, mods)
+                outs = call(ep_tab, tab, a ^ (c & 1023), b, *extra, mods)
                 return outs[0][0, 0].astype(jnp.int32)
 
             return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
