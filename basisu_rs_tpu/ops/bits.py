@@ -319,12 +319,22 @@ def gather_chunked(loaded, idx):
     idx = idx.astype(jnp.int32)
     chunks = loaded.shape[0]
     within = idx & 127
-    out = jnp.take_along_axis(jnp.broadcast_to(loaded[0:1], idx.shape), within, axis=1)
+    # promise_in_bounds: `within` is masked to [0, 128), so take_along_axis's
+    # default negative-wrap + out-of-bounds-fill normalization (lt/add/eq/
+    # select per take) is dead code - skipping it emits the bare gather,
+    # which is the exact shape Mosaic lowers.
+    out = jnp.take_along_axis(
+        jnp.broadcast_to(loaded[0:1], idx.shape), within, axis=1,
+        mode="promise_in_bounds",
+    )
+    if chunks > 1:
+        hi = idx >> 7  # hoisted: one shift serves all chunk-select compares
     for c in range(1, chunks):
         val = jnp.take_along_axis(
-            jnp.broadcast_to(loaded[c : c + 1], idx.shape), within, axis=1
+            jnp.broadcast_to(loaded[c : c + 1], idx.shape), within, axis=1,
+            mode="promise_in_bounds",
         )
-        out = jnp.where((idx >> 7) == c, val, out)
+        out = jnp.where(hi == c, val, out)
     return out
 
 

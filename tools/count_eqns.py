@@ -14,6 +14,14 @@ line via jaxpr source_info and buckets them by the per-target stage line
 ranges below, giving the per-stage irreducibility tables without touching
 shipped code.
 
+ETC1S kernels: targets named `etc1s_<kind>` (kind in rgba, alpha, etc1,
+rgba_alpha) count the REAL pallas_call inner jaxpr at the shipped tile.
+The chunked codebook gathers are O(chunks); `--chunks N` sets the codebook
+size in 128-entry chunks (default 16 = the bench's 2048-entry codebooks).
+Eqn normalization matches the UASTC tables: every counted eqn is
+elementwise over the whole [rows, 128] block tile, so the count IS
+element-ops per block regardless of tile rows.
+
 Usage:
   python tools/count_eqns.py                  # per-mode counts, all targets
   python tools/count_eqns.py bc7              # one target
@@ -21,6 +29,7 @@ Usage:
   python tools/count_eqns.py --mix            # bench-mix weighted means
                                                # (the golden corpus tiles 32
                                                # blocks x 19 modes uniformly)
+  python tools/count_eqns.py etc1s_rgba --chunks 16   # ETC1S kernel body
 """
 
 from __future__ import annotations
@@ -133,6 +142,41 @@ def eqns_for(target: str, mode_id: int) -> int:
     return sum(n for prim, n in c.items() if prim not in FREE)
 
 
+def trace_etc1s(kind: str, chunks: int):
+    """Closed jaxpr of the ETC1S pallas kernel (inner jaxpr of the
+    pallas_call eqn, reached through _iter_eqns' param recursion) at the
+    shipped per-kind tile with `chunks`-chunk endpoint/selector codebooks."""
+    jax.clear_caches()
+    from basisu_rs_tpu.ops.etc1s_pallas import (
+        N_IDX,
+        _build,
+        _packed_mods_np,
+        rows_for_kind,
+    )
+
+    rows = rows_for_kind(kind)
+    call = _build(kind, chunks, chunks, rows, False)
+    tab = np.zeros((chunks, 128), np.uint32)
+    idx = np.zeros((rows, LANE), np.int32)
+    mods = np.asarray(bits.pad_table_for_kernel(_packed_mods_np()))
+    args = [tab, tab] + [idx] * N_IDX[kind] + [mods]
+    return jax.make_jaxpr(lambda *a: call(*a))(*args).jaxpr
+
+
+def eqns_for_etc1s(kind: str, chunks: int) -> tuple[int, int]:
+    """(total non-FREE eqns per block, eqns inside gather_chunked)."""
+    jaxpr = trace_etc1s(kind, chunks)
+    total = gather = 0
+    for eqn in _iter_eqns(jaxpr):
+        if eqn.primitive.name in FREE:
+            continue
+        total += 1
+        f, fn = _pkg_frame(eqn, "func")
+        if fn == "gather_chunked":
+            gather += 1
+    return total, gather
+
+
 # Per-target stage buckets: (stage name, file, [inclusive line ranges]).
 # Line ranges track the current source; --stages prints any unattributed
 # remainder so drift is visible, not silent.
@@ -167,6 +211,23 @@ def stage_table(target: str, mode_id: int, granularity: str = "file"):
 
 
 def main(argv):
+    if "--chunks" in argv:
+        i = argv.index("--chunks")
+        chunks = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    else:
+        chunks = 16  # the bench's 2048-entry codebooks
+    etc1s = [a for a in argv if a.startswith("etc1s_")]
+    for t in etc1s:
+        kind = t[len("etc1s_"):]
+        total, gather = eqns_for_etc1s(kind, chunks)
+        print(
+            f"{t}: {total} eqns/blk at {chunks} codebook chunks "
+            f"({gather} in chunked gathers, {total - gather} body)"
+        )
+    argv = [a for a in argv if a not in etc1s]
+    if etc1s and not [a for a in argv if not a.startswith("--")]:
+        return
     targets = [a for a in argv if not a.startswith("--")] or [
         "rgba", "astc", "bc7", "etc1", "etc2"
     ]
