@@ -130,3 +130,24 @@ def test_lane_byte_round_trip():
     b = rng.integers(0, 256, size=(5, 16), dtype=np.uint8)
     lanes = lanes_from_bytes_np(b, 4)
     np.testing.assert_array_equal(bytes_from_lanes_np(lanes), b)
+
+
+def test_gather_chunked_matches_numpy():
+    """gather_chunked == table[idx] for 1..N-chunk tables, including the
+    chunk-boundary indices (0, 127, 128, last) the promise-in-bounds takes
+    must still handle exactly (indices are in-bounds by construction; the
+    rewrite dropped take_along_axis's wrap/fill normalization)."""
+    from basisu_rs_tpu.ops.bits import gather_chunked
+
+    rng = np.random.default_rng(7)
+    for chunks in (1, 2, 3, 16):
+        table = rng.integers(0, 1 << 32, size=(chunks, 128), dtype=np.uint64)
+        table = table.astype(np.uint32)
+        hi = chunks * 128 - 1
+        idx = rng.integers(0, chunks * 128, size=(4, 128), dtype=np.int64)
+        idx[0, :4] = [0, 127, min(128, hi), hi]
+        idx = idx.astype(np.int32)
+        got = np.asarray(gather_chunked(jnp.asarray(table), jnp.asarray(idx)))
+        np.testing.assert_array_equal(
+            got, table.reshape(-1)[idx], err_msg=f"chunks={chunks}"
+        )
